@@ -1,0 +1,117 @@
+"""PointNet++ MSG backbone, TPU-native.
+
+Re-design of the reference `PointNet2MSG` (`pcdet/models/backbones_3d/
+pointnet2_backbone.py:9-94`) and its SA/FP modules (`pcdet/ops/pointnet2/
+pointnet2_batch/pointnet2_modules.py:10-171`):
+
+- batched fixed shapes (B, N, C) channels-last instead of stacked (N1+N2, C);
+- FPS / ball-query / grouping from `pdm_ssd_tpu.ops` (pure-JAX now, Pallas
+  kernels swap in underneath without touching this module);
+- grouped shared-MLPs are Dense stacks over (B, M, K, C) — XLA maps them to
+  MXU matmuls of shape (B*M*K, C_in) x (C_in, C_out);
+- same config schema: SA_CONFIG.{NPOINTS, RADIUS, NSAMPLE, MLPS}, FP_MLPS.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import pointnet2 as p2
+from ..layers import SharedMLP
+
+
+class SAModuleMSG(nn.Module):
+    """Set-abstraction with multi-scale grouping (`pointnet2_modules.py:58-99`)."""
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, training: bool = False):
+        """xyz: (B, N, 3); features: (B, N, C) or None.
+        Returns new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlps[-1]))."""
+        fps_idx = p2.farthest_point_sample(xyz, self.npoint)
+        new_xyz = p2.gather_operation(xyz, fps_idx)
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
+            grouped = p2.query_and_group(radius, nsample, xyz, new_xyz, features,
+                                         use_xyz=self.use_xyz)  # (B, M, K, 3+C)
+            feat = SharedMLP(mlp, name=f'mlp_{i}')(grouped, training=training)
+            outs.append(jnp.max(feat, axis=2))  # max over nsample
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: three-NN inverse-distance interpolation + unit MLP
+    (`pointnet2_modules.py:122-170`)."""
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats, training: bool = False):
+        dist2, idx = p2.three_nn(unknown, known)
+        weight = p2.three_interpolate_weights(dist2)
+        interp = p2.three_interpolate(known_feats, idx, weight)  # (B, n, C2)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp, name='mlp')(interp, training=training)
+
+
+class PointNet2MSG(nn.Module):
+    """Config-driven SA+FP ladder. model_cfg mirrors the reference YAML schema.
+
+    Input batch keys: 'points' (B, N, 3+C).
+    Output keys added: 'point_features' (B, Np, C'), 'point_coords' (B, Np, 3),
+    plus 'sa_xyz'/'sa_features' pyramids for necks that tap intermediate levels.
+    """
+    model_cfg: Any
+    input_channels: int  # 3 + C like the reference (xyz included)
+
+    @property
+    def num_point_features(self):
+        fp = self.model_cfg.get('FP_MLPS', [])
+        if len(fp) > 0:
+            return fp[0][-1]
+        ch = 0
+        for mlps in self.model_cfg.SA_CONFIG.MLPS[-1]:
+            ch += mlps[-1]
+        return ch
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        points = batch['points']
+        xyz = points[..., 0:3]
+        features = points[..., 3:] if points.shape[-1] > 3 else None
+
+        sa_cfg = self.model_cfg.SA_CONFIG
+        l_xyz, l_features = [xyz], [features]
+        for k in range(len(sa_cfg.NPOINTS)):
+            mlps = [list(m) for m in sa_cfg.MLPS[k]]
+            sa = SAModuleMSG(
+                npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                use_xyz=sa_cfg.get('USE_XYZ', True), name=f'sa_{k}')
+            li_xyz, li_features = sa(l_xyz[k], l_features[k], training=training)
+            l_xyz.append(li_xyz)
+            l_features.append(li_features)
+
+        fp_mlps = self.model_cfg.get('FP_MLPS', [])
+        n_fp = len(fp_mlps)
+        for i in range(-1, -(n_fp + 1), -1):
+            fp = FPModule(mlp=list(fp_mlps[i]), name=f'fp_{n_fp + i}')
+            l_features[i - 1] = fp(l_xyz[i - 1], l_xyz[i], l_features[i - 1],
+                                   l_features[i], training=training)
+
+        if n_fp > 0:
+            batch['point_features'] = l_features[0]
+            batch['point_coords'] = l_xyz[0]
+        else:
+            batch['point_features'] = l_features[-1]
+            batch['point_coords'] = l_xyz[-1]
+        batch['sa_xyz'] = l_xyz
+        batch['sa_features'] = l_features
+        return batch

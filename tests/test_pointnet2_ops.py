@@ -1,0 +1,106 @@
+"""Parity tests for the point-set ops against brute-force numpy oracles that
+mirror the reference CUDA kernel semantics exactly
+(`pcdet/ops/pointnet2/pointnet2_batch/src/*.cu`)."""
+import numpy as np
+
+from pdm_ssd_tpu.ops import pointnet2 as p2
+
+
+def np_fps(xyz, npoint):
+    """Numpy oracle of `farthest_point_sampling_kernel` (sampling_gpu.cu:100)."""
+    B, N, _ = xyz.shape
+    idx = np.zeros((B, npoint), np.int32)
+    for b in range(B):
+        dists = np.full(N, 1e10)
+        last = 0
+        idx[b, 0] = 0
+        for i in range(1, npoint):
+            d = np.sum((xyz[b] - xyz[b, last]) ** 2, axis=1)
+            dists = np.minimum(dists, d)
+            last = int(np.argmax(dists))
+            idx[b, i] = last
+    return idx
+
+
+def np_ball_query(radius, nsample, xyz, new_xyz):
+    """Numpy oracle of `ball_query_kernel_fast` (ball_query_gpu.cu:15-51)."""
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
+    idx = np.zeros((B, M, nsample), np.int32)
+    for b in range(B):
+        for m in range(M):
+            cnt = 0
+            for k in range(N):
+                d2 = np.sum((new_xyz[b, m] - xyz[b, k]) ** 2)
+                if d2 < radius ** 2:
+                    if cnt == 0:
+                        idx[b, m, :] = k
+                    idx[b, m, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return idx
+
+
+def test_fps_matches_oracle(rng):
+    xyz = rng.randn(2, 64, 3).astype(np.float32)
+    got = np.asarray(p2.farthest_point_sample(xyz, 16))
+    want = np_fps(xyz, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_respects_mask(rng):
+    xyz = rng.randn(1, 32, 3).astype(np.float32)
+    mask = np.ones((1, 32), bool)
+    mask[0, 20:] = False
+    got = np.asarray(p2.farthest_point_sample(xyz, 8, mask=mask))
+    assert (got < 20).all()
+
+
+def test_ball_query_matches_oracle(rng):
+    xyz = rng.randn(2, 50, 3).astype(np.float32)
+    centers = xyz[:, :10] + 0.05 * rng.randn(2, 10, 3).astype(np.float32)
+    got = np.asarray(p2.ball_query(0.5, 8, xyz, centers))
+    want = np_ball_query(0.5, 8, xyz, centers)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_empty_ball_is_zero(rng):
+    xyz = rng.randn(1, 20, 3).astype(np.float32)
+    far = np.full((1, 1, 3), 100.0, np.float32)
+    got = np.asarray(p2.ball_query(0.5, 4, xyz, far))
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_three_nn_squared_dists(rng):
+    unknown = rng.randn(1, 10, 3).astype(np.float32)
+    known = rng.randn(1, 20, 3).astype(np.float32)
+    d2, idx = p2.three_nn(unknown, known)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    full = np.sum((unknown[:, :, None] - known[:, None]) ** 2, axis=-1)  # (1,10,20)
+    order = np.argsort(full, axis=-1)[..., :3]
+    np.testing.assert_array_equal(np.sort(idx, -1), np.sort(order, -1))
+    np.testing.assert_allclose(np.sort(d2, -1), np.sort(np.take_along_axis(full, order, -1), -1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_three_interpolate(rng):
+    known_feats = rng.randn(1, 20, 5).astype(np.float32)
+    idx = rng.randint(0, 20, (1, 10, 3)).astype(np.int32)
+    w = rng.rand(1, 10, 3).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    got = np.asarray(p2.three_interpolate(known_feats, idx, w))
+    want = np.einsum('bnk,bnkc->bnc', w, known_feats[0][idx])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_query_and_group_shapes(rng):
+    xyz = rng.randn(2, 40, 3).astype(np.float32)
+    feats = rng.randn(2, 40, 6).astype(np.float32)
+    new_xyz = xyz[:, :8]
+    out = p2.query_and_group(1.0, 16, xyz, new_xyz, feats, use_xyz=True)
+    assert out.shape == (2, 8, 16, 9)
+    # relative xyz of the center's own slot should be ~0 when the center is a point
+    out = np.asarray(out)
+    d = np.linalg.norm(out[..., :3], axis=-1)
+    assert (d.min(axis=-1) < 1e-5).all()
