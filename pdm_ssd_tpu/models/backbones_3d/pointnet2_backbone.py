@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import pointnet2 as p2
 from ..layers import SharedMLP
+from ...utils.config import as_cfg
 
 
 class SAModuleMSG(nn.Module):
@@ -73,11 +74,11 @@ class PointNet2MSG(nn.Module):
 
     @property
     def num_point_features(self):
-        fp = self.model_cfg.get('FP_MLPS', [])
+        fp = as_cfg(self.model_cfg).get('FP_MLPS', [])
         if len(fp) > 0:
             return fp[0][-1]
         ch = 0
-        for mlps in self.model_cfg.SA_CONFIG.MLPS[-1]:
+        for mlps in as_cfg(self.model_cfg).SA_CONFIG.MLPS[-1]:
             ch += mlps[-1]
         return ch
 
@@ -87,7 +88,7 @@ class PointNet2MSG(nn.Module):
         xyz = points[..., 0:3]
         features = points[..., 3:] if points.shape[-1] > 3 else None
 
-        sa_cfg = self.model_cfg.SA_CONFIG
+        sa_cfg = as_cfg(self.model_cfg).SA_CONFIG
         l_xyz, l_features = [xyz], [features]
         for k in range(len(sa_cfg.NPOINTS)):
             mlps = [list(m) for m in sa_cfg.MLPS[k]]
@@ -99,7 +100,7 @@ class PointNet2MSG(nn.Module):
             l_xyz.append(li_xyz)
             l_features.append(li_features)
 
-        fp_mlps = self.model_cfg.get('FP_MLPS', [])
+        fp_mlps = as_cfg(self.model_cfg).get('FP_MLPS', [])
         n_fp = len(fp_mlps)
         for i in range(-1, -(n_fp + 1), -1):
             fp = FPModule(mlp=list(fp_mlps[i]), name=f'fp_{n_fp + i}')

@@ -25,10 +25,13 @@ class CfgNode(dict):
 
     @classmethod
     def _wrap(cls, v):
-        if isinstance(v, dict) and not isinstance(v, CfgNode):
+        import collections.abc
+        if isinstance(v, CfgNode):
+            return v
+        if isinstance(v, collections.abc.Mapping):  # dict, flax FrozenDict, ...
             return cls(v)
         if isinstance(v, (list, tuple)):
-            return type(v)(cls._wrap(x) for x in v)
+            return list(cls._wrap(x) for x in v)
         return v
 
     def __getattr__(self, k):
@@ -123,3 +126,14 @@ def log_config_to_file(cfg: CfgNode, pre='cfg', logger=None):
             log_config_to_file(val, pre=pre + '.' + key, logger=logger)
             continue
         logger.info('%s.%s: %s' % (pre, key, val))
+
+
+def as_cfg(obj) -> CfgNode:
+    """Re-wrap a (possibly flax-frozen) mapping back into a CfgNode.
+
+    flax converts dict module attributes to FrozenDict; modules call this at the
+    top of setup/__call__ to restore attribute-style access.
+    """
+    if isinstance(obj, CfgNode):
+        return obj
+    return CfgNode({k: obj[k] for k in obj.keys()})
