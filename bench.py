@@ -1,0 +1,72 @@
+"""Benchmark: PDM-SSD single-frame inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference paper's 68 frames/s single-GPU figure
+(`/root/reference/README.md:12`; BASELINE.md). Uses real KITTI val frames when
+`data/kitti` is present, otherwise synthetic clouds with the production shape
+(16384 points, the `sample_points` pipeline output).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+BASELINE_FPS = 68.0
+
+
+def main():
+    import jax
+    from __graft_entry__ import _flagship, _make_batch
+
+    batch_size = 8
+    model, cfg = _flagship(tiny=False)
+    batch = _make_batch(B=batch_size, N=16384)
+
+    kitti_bins = sorted((REPO / 'data/kitti/training/velodyne').glob('*.bin'))[:batch_size] \
+        if (REPO / 'data/kitti/training/velodyne').exists() else []
+    if kitti_bins:
+        pts_list = []
+        for f in kitti_bins:
+            p = np.fromfile(str(f), dtype=np.float32).reshape(-1, 4)
+            p = p[(p[:, 0] >= 0) & (p[:, 0] <= 70.4) & (np.abs(p[:, 1]) <= 40)]
+            idx = np.random.RandomState(0).choice(len(p), 16384, replace=len(p) < 16384)
+            pts_list.append(p[idx])
+        batch['points'] = np.stack(pts_list).astype(np.float32)
+
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           {'points': batch['points'][:1]}, training=False)
+
+    @jax.jit
+    def predict(points):
+        return model.apply(variables, {'points': points}, method=model.predict)
+
+    pts = jax.device_put(batch['points'])
+    # warmup + compile
+    out = predict(pts)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(pts)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch_size * iters / dt
+
+    print(json.dumps({
+        'metric': 'kitti_inference_frames_per_sec_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -81,6 +81,18 @@ class PDMSSD(nn.Module):
             batch = self.dense_head(batch, training=training)
         return batch
 
+    def forward_with_loss(self, batch: dict, training: bool = True):
+        """Single-apply train path: forward + target assignment + losses.
+        Returns (loss, (tb_dict, out_batch)) — shaped for jax.value_and_grad."""
+        out = self(batch, training=training)
+        loss, tb = self.get_training_loss(out)
+        return loss, tb
+
+    def predict(self, batch: dict) -> dict:
+        """Single-apply eval path: forward + hybrid post-processing."""
+        out = self(batch, training=False)
+        return self.post_process(out)
+
     # ---- losses (pure; called through nn.apply-bound methods or directly) ----
 
     def get_training_loss(self, batch: dict) -> tuple[jax.Array, dict]:

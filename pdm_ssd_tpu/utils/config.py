@@ -73,8 +73,10 @@ def merge_new_config(config: CfgNode, new_config: dict) -> CfgNode:
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and isinstance(config.get(key), CfgNode):
-            merge_new_config(config[key], val)
+        if isinstance(val, dict):
+            if not isinstance(config.get(key), CfgNode):
+                config[key] = CfgNode()
+            merge_new_config(config[key], val)  # recurse (handles nested bases)
         else:
             config[key] = copy.deepcopy(val)
     return config

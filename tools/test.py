@@ -1,0 +1,81 @@
+"""Evaluation CLI (parity with the reference `tools/test.py`).
+
+Usage:
+    python tools/test.py --cfg_file configs/kitti_models/pdm_ssd.yaml
+        --ckpt output/.../ckpt [--batch_size B] [--set KEY VALUE ...]
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from pdm_ssd_tpu.utils.config import CfgNode, cfg_from_yaml_file, cfg_from_list  # noqa: E402
+from pdm_ssd_tpu.utils import common_utils  # noqa: E402
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description='arg parser')
+    parser.add_argument('--cfg_file', type=str, required=True)
+    parser.add_argument('--batch_size', type=int, default=None)
+    parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None,
+                        help='checkpoint dir (orbax CheckpointManager root)')
+    parser.add_argument('--ckpt_step', type=int, default=None)
+    parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    import jax
+    from pdm_ssd_tpu.datasets import build_dataloader
+    from pdm_ssd_tpu.models import build_network
+    from pdm_ssd_tpu.runtime import trainer, eval_utils
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU * jax.device_count()
+    output_dir = REPO / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    eval_dir = output_dir / 'eval'
+    (eval_dir / 'final_result/data').mkdir(parents=True, exist_ok=True)
+
+    log_file = eval_dir / ('log_eval_%s.log' % datetime.datetime.now().strftime('%Y%m%d-%H%M%S'))
+    logger = common_utils.create_logger(log_file, rank=0)
+
+    test_set, test_loader, _ = build_dataloader(
+        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+        batch_size=batch_size, root_path=Path(cfg.DATA_CONFIG.DATA_PATH),
+        workers=args.workers, logger=logger, training=False)
+
+    model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset_cfg=cfg.DATA_CONFIG)
+    example_batch = next(iter(test_loader))
+    state, tx, _ = trainer.create_train_state(
+        model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
+        total_iters_each_epoch=1, total_epochs=1)
+
+    if args.ckpt:
+        ckpt_manager = trainer.make_checkpoint_manager(str(Path(args.ckpt).resolve()))
+        state, step = trainer.restore_checkpoint(ckpt_manager, state, step=args.ckpt_step)
+        logger.info(f'loaded checkpoint step {step}')
+    else:
+        logger.warning('no --ckpt given: evaluating randomly initialized weights')
+
+    ret = eval_utils.eval_one_epoch(
+        model, state.params, state.batch_stats, test_loader, test_set,
+        cfg.CLASS_NAMES, logger=logger, result_dir=eval_dir)
+    logger.info(str(ret))
+
+
+if __name__ == '__main__':
+    main()
