@@ -1,0 +1,104 @@
+"""Bucketed (grid-hash) ball query — the TPU-native neighbor search.
+
+The reference CUDA ball query scans all N points per center with early exit
+(`ball_query_gpu.cu:15-51`), which maps terribly to a vector machine: the
+pure-JAX port materializes a (B, M, N) distance tensor and sorts it. This
+module replaces the algorithm with the classic grid-bucket design, all in
+fixed shapes:
+
+1. hash every point into a BEV cell of size = radius (z ignored: KITTI's 4 m
+   z-extent < 2*radius for every SA scale, the distance test handles z);
+2. bucket table (B, n_cells, cap) built with one sort + rank-scatter;
+3. each center gathers the 3x3 neighboring cells' buckets -> 9*cap candidates;
+4. the first `nsample` candidates within the radius are selected with a
+   cheap top_k over the 9*cap keys (not over N!), with first-hit backfill and
+   zero-fill for empty balls (reference semantics).
+
+Complexity per center: O(9*cap) instead of O(N); for N=16384, cap=48 that is
+a ~38x candidate reduction. Overflowing buckets drop points (same spirit as
+the CUDA cap at `nsample`; the drop is random because the pipeline shuffles
+points).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def build_bucket_table(xyz: jax.Array, cell_size: float, grid_wh: tuple,
+                       cap: int, pc_min=(-80.0, -80.0)) -> jax.Array:
+    """xyz: (B, N, 3) -> (B, n_cells+1, cap) int32 table of point indices,
+    N-padded (invalid slots = N). Last row is the out-of-range dump cell."""
+    B, N, _ = xyz.shape
+    W, H = grid_wh
+    n_cells = W * H
+    ix = jnp.floor((xyz[..., 0] - pc_min[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((xyz[..., 1] - pc_min[1]) / cell_size).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    cell = jnp.where(in_grid, iy * W + ix, n_cells)  # (B, N)
+
+    order = jnp.argsort(cell, axis=1)
+    cell_sorted = jnp.take_along_axis(cell, order, axis=1)
+    # within-cell rank: i - index_of_first_equal
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cell_sorted[:, 1:] != cell_sorted[:, :-1]], axis=1)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    rank = pos - start_pos  # (B, N)
+
+    ok = rank < cap
+    flat_slot = jnp.where(ok, cell_sorted * cap + rank, n_cells * cap)
+
+    def scatter_one(slots, orig_idx):
+        table = jnp.full(((n_cells + 1) * cap,), N, jnp.int32)
+        return table.at[slots].set(orig_idx, mode='drop')
+
+    table = jax.vmap(scatter_one)(flat_slot, order.astype(jnp.int32))
+    return table.reshape(B, n_cells + 1, cap)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def grid_ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+                    cap: int = 48, pc_range=(-80.0, -80.0, 80.0, 80.0)):
+    """Bucketed ball query. Returns idx (B, M, nsample) int32 with reference
+    backfill semantics (underfull -> repeat first hit, empty -> 0)."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    cs = radius
+    W = int((pc_range[2] - pc_range[0]) / cs) + 2
+    H = int((pc_range[3] - pc_range[1]) / cs) + 2
+    table = build_bucket_table(xyz, cs, (W, H), cap, pc_min=pc_range[:2])
+
+    cx = jnp.clip(jnp.floor((new_xyz[..., 0] - pc_range[0]) / cs).astype(jnp.int32), 0, W - 1)
+    cy = jnp.clip(jnp.floor((new_xyz[..., 1] - pc_range[1]) / cs).astype(jnp.int32), 0, H - 1)
+    offs = jnp.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32)
+    ny = jnp.clip(cy[..., None] + offs[None, None, :, 0], 0, H - 1)
+    nx = jnp.clip(cx[..., None] + offs[None, None, :, 1], 0, W - 1)
+    ncell = ny * W + nx                                     # (B, M, 9)
+
+    def gather_one(tab, cells):
+        return tab[cells]                                    # (M, 9, cap)
+
+    cand = jax.vmap(gather_one)(table, ncell).reshape(B, M, 9 * cap)  # point idx, N = invalid
+
+    def gather_xyz(pts, idx):
+        padded = jnp.concatenate([pts, jnp.full((1, 3), 1e9, pts.dtype)], axis=0)
+        return padded[idx]                                   # (M, 9cap, 3)
+
+    cxyz = jax.vmap(gather_xyz)(xyz, cand)
+    d2 = jnp.sum((cxyz - new_xyz[:, :, None, :]) ** 2, axis=-1)      # (B, M, 9cap)
+    within = d2 < radius * radius
+
+    C = 9 * cap
+    pos = jnp.arange(C, dtype=jnp.int32)
+    key = jnp.where(within, pos, C + pos)                    # first hits sort first
+    neg_key, take = jax.lax.top_k(-key, nsample)             # (B, M, K)
+    hit = (-neg_key) < C
+    sel = jnp.take_along_axis(cand, take, axis=-1)
+    first = sel[..., :1]
+    any_hit = hit[..., :1]
+    idx = jnp.where(hit, sel, jnp.where(any_hit, first, 0))
+    return idx.astype(jnp.int32)
