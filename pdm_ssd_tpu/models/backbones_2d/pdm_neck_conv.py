@@ -1,0 +1,95 @@
+"""PDM neck, grid-native form: point dilation as an SH-basis convolution.
+
+Mathematically the same operation as the point-form `PDMNeck` (see
+`pdm_neck.py`, built from the paper spec in reference `README.md:12`) with
+dilation centers quantized to occupied grid cells:
+
+    point form:  out(cell p) = sum_centers gauss(p-c) * Y(p-c)^T coeffs(c)
+    grid form:   out(p)      = sum_offsets gauss(o) * Y(o)^T coeffs(p-o)
+                             = conv(coeffs, K),  K[o, sh, z] = gauss(o,z)*Y_sh(o,z)
+
+i.e. scatter-accumulate over dilation windows == convolution with the
+solid-harmonic x Gaussian-density kernel. On this hardware convs sustain
+~13.6 TFLOP/s while scatters run at ~0.2 Gelem/s, so the conv form is the
+speed-of-light implementation. The kernel is LEARNABLE but initialized to the
+analytic SH x Gaussian basis (a strict generalization of the paper's fixed
+filling; the density channel rides along from the pillar encoder).
+
+Output: (B, H, W, NUM_Z_BINS * NUM_BEV_FEATURES) "height-compressed" BEV
+(reference pattern `height_compression.py:10-26`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.config import as_cfg
+# analytic SH basis evaluated in numpy below (no jnp in initializers)
+
+
+def sh_gaussian_kernel_init(window: int, n_sh: int, num_z: int, sigma: float,
+                            z_extent: float = 1.0) -> np.ndarray:
+    """(window, window, n_sh, num_z) analytic kernel K[dy,dx,s,z] =
+    gauss(o) * Y_s(o) evaluated at integer cell offsets o=(dx,dy,z_k)."""
+    r = window // 2
+    K = np.zeros((window, window, n_sh, num_z), np.float32)
+    zs = (np.arange(num_z) - (num_z - 1) / 2.0) * (2.0 * z_extent / max(num_z, 1))
+    for iy in range(window):
+        for ix in range(window):
+            for iz in range(num_z):
+                o = np.array([ix - r, iy - r, zs[iz]], np.float32) / max(sigma, 1e-6)
+                g = float(np.exp(-0.5 * np.sum(o * o)))
+                x_, y_, z_ = float(o[0]), float(o[1]), float(o[2])
+                r2 = x_ * x_ + y_ * y_ + z_ * z_
+                y = np.array([1.0, x_, y_, z_, x_ * y_, y_ * z_,
+                              3 * z_ * z_ - r2, x_ * z_, x_ * x_ - y_ * y_],
+                             np.float32)
+                K[iy, ix, :, iz] = g * y
+    return K
+
+
+class PDMNeckConv(nn.Module):
+    """Config: WINDOW (e.g. 5), NUM_BEV_FEATURES C', NUM_Z_BINS, GAUSSIAN_SIGMA."""
+    model_cfg: Any
+    input_channels: int
+
+    @property
+    def num_bev_features(self):
+        cfg = as_cfg(self.model_cfg)
+        return cfg.NUM_BEV_FEATURES * cfg.NUM_Z_BINS
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        cfg = as_cfg(self.model_cfg)
+        x = batch['spatial_features']           # (B, h, w, C)
+        Cp = cfg.NUM_BEV_FEATURES
+        Dz = cfg.NUM_Z_BINS
+        win = cfg.get('WINDOW', 5)
+        sigma = cfg.get('GAUSSIAN_SIGMA', 1.2)
+        n_sh = 9
+
+        # SH coefficient projection per (quantized) dilation center
+        coeffs = nn.Conv(n_sh * Cp, (1, 1), use_bias=False, name='sh_proj')(x)
+        B, h, w, _ = coeffs.shape
+
+        # dilation + feature filling: conv with SH x Gaussian initialized kernel,
+        # block-structured (sh -> z) shared across the C' feature channels.
+        def init_fn(key, shape, dtype=jnp.float32):
+            K = sh_gaussian_kernel_init(win, n_sh, Dz, sigma)  # (w,w,9,Dz)
+            full = np.zeros(shape, np.float32)  # (win, win, 9*Cp, Dz*Cp)
+            for s in range(n_sh):
+                for z in range(Dz):
+                    for c in range(Cp):
+                        full[:, :, s * Cp + c, z * Cp + c] = K[:, :, s, z]
+            return jnp.asarray(full, dtype)
+
+        out = nn.Conv(Dz * Cp, (win, win), padding='SAME', use_bias=False,
+                      kernel_init=init_fn, name='dilate')(coeffs)
+        out = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                           epsilon=1e-3, name='bn')(out)
+        out = nn.relu(out)
+        batch['spatial_features'] = out
+        return batch

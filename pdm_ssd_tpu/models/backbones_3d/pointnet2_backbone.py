@@ -18,30 +18,50 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops import pointnet2 as p2
+from ...ops import dispatch, pointnet2 as p2
 from ..layers import SharedMLP
 from ...utils.config import as_cfg
 
 
 class SAModuleMSG(nn.Module):
-    """Set-abstraction with multi-scale grouping (`pointnet2_modules.py:58-99`)."""
+    """Set-abstraction with multi-scale grouping (`pointnet2_modules.py:58-99`).
+
+    `sample_method`: 'fps' (Pallas kernel on TPU) or 'random' — the pipeline
+    shuffles points (`shuffle_points` processor), so taking the first `npoint`
+    slots IS a uniform random subsample; it removes the sequential FPS cost at
+    high-resolution levels (3DSSD-style trade-off).
+    `pc_range`: (xmin, ymin, xmax, ymax) enables the bucketed grid ball query
+    on TPU (`ops/neighbor_grid.py`).
+    """
     npoint: int
     radii: Sequence[float]
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
+    sample_method: str = 'fps'
+    pc_range: Sequence[float] | None = None
 
     @nn.compact
     def __call__(self, xyz, features, training: bool = False):
         """xyz: (B, N, 3); features: (B, N, C) or None.
         Returns new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlps[-1]))."""
-        fps_idx = p2.farthest_point_sample(xyz, self.npoint)
-        new_xyz = p2.gather_operation(xyz, fps_idx)
+        if self.sample_method == 'random':
+            new_xyz = xyz[:, :self.npoint]
+        else:
+            fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
+            new_xyz = p2.gather_operation(xyz, fps_idx)
 
         outs = []
         for i, (radius, nsample, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            grouped = p2.query_and_group(radius, nsample, xyz, new_xyz, features,
-                                         use_xyz=self.use_xyz)  # (B, M, K, 3+C)
+            idx = dispatch.ball_query(radius, nsample, xyz, new_xyz,
+                                      pc_range=self.pc_range)
+            grouped_xyz = p2.grouping_operation(xyz, idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feats = p2.grouping_operation(features, idx)
+                grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1) \
+                    if self.use_xyz else grouped_feats
+            else:
+                grouped = grouped_xyz
             feat = SharedMLP(mlp, name=f'mlp_{i}')(grouped, training=training)
             outs.append(jnp.max(feat, axis=2))  # max over nsample
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -71,6 +91,7 @@ class PointNet2MSG(nn.Module):
     """
     model_cfg: Any
     input_channels: int  # 3 + C like the reference (xyz included)
+    pc_range: Any = None  # (xmin, ymin, zmin, xmax, ymax, zmax)
 
     @property
     def num_point_features(self):
@@ -89,13 +110,19 @@ class PointNet2MSG(nn.Module):
         features = points[..., 3:] if points.shape[-1] > 3 else None
 
         sa_cfg = as_cfg(self.model_cfg).SA_CONFIG
+        methods = sa_cfg.get('SAMPLE_METHOD', ['fps'] * len(sa_cfg.NPOINTS))
+        bev_range = None
+        if self.pc_range is not None:
+            r = list(self.pc_range)
+            bev_range = (r[0], r[1], r[3], r[4])
         l_xyz, l_features = [xyz], [features]
         for k in range(len(sa_cfg.NPOINTS)):
             mlps = [list(m) for m in sa_cfg.MLPS[k]]
             sa = SAModuleMSG(
                 npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
                 nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
-                use_xyz=sa_cfg.get('USE_XYZ', True), name=f'sa_{k}')
+                use_xyz=sa_cfg.get('USE_XYZ', True),
+                sample_method=methods[k], pc_range=bev_range, name=f'sa_{k}')
             li_xyz, li_features = sa(l_xyz[k], l_features[k], training=training)
             l_xyz.append(li_xyz)
             l_features.append(li_features)

@@ -21,7 +21,9 @@ from ...ops import iou3d
 from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.pdm_neck import PDMNeck
+from ..backbones_2d.pdm_neck_conv import PDMNeckConv
 from ..backbones_3d.pointnet2_backbone import PointNet2MSG
+from ..backbones_3d.grid_point_backbone import GridPointBackbone
 from ..dense_heads.center_head import CenterHead
 from ..dense_heads.point_head_box import PointHeadBox
 from ..dense_heads.point_head_simple import PointHeadSimple
@@ -38,8 +40,15 @@ class PDMSSD(nn.Module):
         pc_range = ds_cfg.POINT_CLOUD_RANGE
         num_point_features = ds_cfg.get('NUM_POINT_FEATURES', 4)
 
-        self.backbone_3d = PointNet2MSG(model_cfg=cfg.BACKBONE_3D,
-                                        input_channels=num_point_features)
+        bb_name = cfg.BACKBONE_3D.get('NAME', 'PointNet2MSG')
+        if bb_name == 'GridPointBackbone':
+            self.backbone_3d = GridPointBackbone(
+                model_cfg=cfg.BACKBONE_3D, input_channels=num_point_features,
+                pc_range=tuple(pc_range))
+        else:
+            self.backbone_3d = PointNet2MSG(model_cfg=cfg.BACKBONE_3D,
+                                            input_channels=num_point_features,
+                                            pc_range=tuple(pc_range))
         if cfg.get('POINT_HEAD') is not None:
             head_cls = {'PointHeadBox': PointHeadBox,
                         'PointHeadSimple': PointHeadSimple}[cfg.POINT_HEAD.NAME]
@@ -54,7 +63,10 @@ class PDMSSD(nn.Module):
             neck_cfg = cfg.PDM_NECK
             if 'POINT_CLOUD_RANGE' not in neck_cfg:
                 neck_cfg['POINT_CLOUD_RANGE'] = pc_range
-            self.pdm_neck = PDMNeck(model_cfg=neck_cfg, input_channels=0)
+            if neck_cfg.get('NAME', 'PDMNeck') == 'PDMNeckConv':
+                self.pdm_neck = PDMNeckConv(model_cfg=neck_cfg, input_channels=0)
+            else:
+                self.pdm_neck = PDMNeck(model_cfg=neck_cfg, input_channels=0)
             self.backbone_2d = BaseBEVBackbone(
                 model_cfg=cfg.BACKBONE_2D,
                 input_channels=self.pdm_neck.num_bev_features)
@@ -166,10 +178,16 @@ class PDMSSD(nn.Module):
         nms_cfg = pp.NMS_CONFIG
 
         def per_sample(b, s, l, v):
-            idx, keep = iou3d.nms_bev(b, s, nms_cfg.NMS_THRESH,
-                                      pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
-                                      post_maxsize=nms_cfg.NMS_POST_MAXSIZE,
-                                      valid=v)
+            if nms_cfg.get('NMS_TYPE', 'nms_bev') == 'circle_nms':
+                idx, keep = iou3d.circle_nms(
+                    b, s, nms_cfg.get('NMS_RADIUS', 1.0),
+                    pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
+                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
+            else:
+                idx, keep = iou3d.nms_bev(b, s, nms_cfg.NMS_THRESH,
+                                          pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
+                                          post_maxsize=nms_cfg.NMS_POST_MAXSIZE,
+                                          valid=v)
             return b[idx], s[idx] * keep, l[idx] * keep, keep
 
         fb, fs, fl, fm = jax.vmap(per_sample)(boxes, scores, labels, valid)

@@ -1,0 +1,35 @@
+"""Backend dispatch for the hot point ops.
+
+On TPU backends the Pallas FPS kernel and the grid-hash ball query replace the
+pure-JAX references; on CPU (tests, debugging) the references run. The
+references define the semantics — kernels are parity-tested against them in
+`tests/test_pallas_kernels.py` (TPU-only, skipped on CPU).
+"""
+from __future__ import annotations
+
+import jax
+
+from . import pointnet2 as ref
+
+
+def _on_tpu() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat in ('tpu', 'axon')
+
+
+def farthest_point_sample(xyz, npoint: int):
+    if _on_tpu():
+        from .pallas.fps import farthest_point_sample_pallas
+        return farthest_point_sample_pallas(xyz, npoint)
+    return ref.farthest_point_sample(xyz, npoint)
+
+
+def ball_query(radius: float, nsample: int, xyz, new_xyz, pc_range=None, cap: int = 48):
+    if _on_tpu() and pc_range is not None:
+        from .neighbor_grid import grid_ball_query
+        return grid_ball_query(radius, nsample, xyz, new_xyz, cap=cap,
+                               pc_range=tuple(pc_range))
+    return ref.ball_query(radius, nsample, xyz, new_xyz)

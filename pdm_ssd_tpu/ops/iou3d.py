@@ -187,3 +187,37 @@ def nms_bev(boxes: jax.Array, scores: jax.Array, thresh: float,
         out_idx = jnp.pad(out_idx, (0, post_maxsize - P))
         out_mask = jnp.pad(out_mask, (0, post_maxsize - P))
     return jnp.where(out_mask, out_idx, 0), out_mask
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def circle_nms(boxes: jax.Array, scores: jax.Array, radius: float,
+               pre_maxsize: int, post_maxsize: int,
+               valid: jax.Array | None = None):
+    """Center-distance NMS (`centernet_utils.circle_nms:99-134` analog),
+    fixed-shape like `nms_bev`. Suppresses any box whose BEV center lies
+    within `radius` of a higher-scoring kept box. ~30x cheaper than rotated
+    NMS (no polygon clipping) and near-equivalent for center-based heads."""
+    N = boxes.shape[0]
+    s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
+    K = min(pre_maxsize, N)
+    top_scores, order = jax.lax.top_k(s, K)
+    cb = boxes[order][:, :2]
+    d2 = jnp.sum((cb[:, None, :] - cb[None, :, :]) ** 2, axis=-1)  # (K, K)
+    cand_valid = jnp.isfinite(top_scores)
+
+    def step(keep, i):
+        sup = jnp.any((d2[i] <= radius * radius) & keep & (jnp.arange(K) < i))
+        keep_i = cand_valid[i] & ~sup
+        return keep.at[i].set(keep_i), keep_i
+
+    keep0 = jnp.zeros((K,), bool)
+    _, kept = jax.lax.scan(step, keep0, jnp.arange(K))
+    rank = jnp.argsort(jnp.where(kept, 0, 1), stable=True)
+    P = min(post_maxsize, K)
+    sel = rank[:P]
+    out_idx = order[sel].astype(jnp.int32)
+    out_mask = kept[sel]
+    if P < post_maxsize:
+        out_idx = jnp.pad(out_idx, (0, post_maxsize - P))
+        out_mask = jnp.pad(out_mask, (0, post_maxsize - P))
+    return jnp.where(out_mask, out_idx, 0), out_mask
