@@ -112,6 +112,18 @@ class DatasetTemplate(object):
                         mask[i, :n] = True
                 ret['gt_boxes'] = boxes
                 ret['gt_mask'] = mask
+            elif key in ['voxels', 'voxel_coords', 'voxel_num_points']:
+                # pad to the processor's static cap so batch shapes never vary
+                V = getattr(self.data_processor, 'max_num_voxels', None) \
+                    or max(len(v) for v in val)
+                trailing = val[0].shape[1:]
+                out = np.zeros((batch_size, V) + trailing, val[0].dtype)
+                vmask = np.zeros((batch_size, V), bool)
+                for i, v in enumerate(val):
+                    out[i, :len(v)] = v
+                    vmask[i, :len(v)] = True
+                ret[key] = out
+                ret.setdefault('voxel_mask', vmask)
             elif key in ['frame_id', 'calib', 'image_shape', 'use_lead_xyz',
                          'flip_x', 'flip_y', 'noise_rot', 'noise_scale']:
                 ret[key] = np.array(val) if key in ['frame_id', 'image_shape'] else val

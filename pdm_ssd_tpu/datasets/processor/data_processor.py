@@ -105,6 +105,7 @@ class DataProcessor(object):
                 / np.array(config.VOXEL_SIZE)
             self.grid_size = np.round(grid_size).astype(np.int64)
             self.voxel_size = config.VOXEL_SIZE
+            self.max_num_voxels = config.MAX_NUMBER_OF_VOXELS[self.mode]
             return partial(self.transform_points_to_voxels, config=config)
 
         points = data_dict['points']

@@ -7,6 +7,6 @@
 from .detectors import build_detector
 
 
-def build_network(model_cfg, num_class, dataset_cfg):
+def build_network(model_cfg, num_class, dataset_cfg, class_names=None):
     return build_detector(model_cfg=model_cfg, num_class=num_class,
-                          dataset_cfg=dataset_cfg)
+                          dataset_cfg=dataset_cfg, class_names=class_names)

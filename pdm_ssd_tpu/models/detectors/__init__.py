@@ -1,1 +1,19 @@
-from .pdm_ssd import PDMSSD, build_detector  # noqa: F401
+"""Detector registry (`pcdet/models/detectors/__init__.py:19-38` analog).
+
+`PDMSSD` is the specialized flagship; `PointPillar`, `SECONDNet` and
+`CenterPoint` assemble from the generic `Detector3D` template by config —
+the reference's module-topology pattern as pure configuration.
+"""
+from .detector3d import Detector3D
+from .pdm_ssd import PDMSSD
+
+
+def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
+    name = model_cfg.NAME
+    if name == 'PDMSSD':
+        return PDMSSD(model_cfg=model_cfg, num_class=num_class,
+                      dataset_cfg=dataset_cfg)
+    if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'Detector3D'):
+        return Detector3D(model_cfg=model_cfg, num_class=num_class,
+                          dataset_cfg=dataset_cfg, class_names=class_names)
+    raise KeyError(f'unknown detector: {name}')

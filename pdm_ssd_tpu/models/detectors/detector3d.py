@@ -1,0 +1,178 @@
+"""Generic config-assembled detector (module-topology template).
+
+The flax analog of `Detector3DTemplate.build_networks`
+(`pcdet/models/detectors/detector3d_template.py:23-173`): a detector is the
+composition of optional module slots selected by config blocks —
+
+    VFE -> MAP_TO_BEV -> BACKBONE_2D -> DENSE_HEAD
+
+which covers the pillar/voxel single-stage family (PointPillar, SECOND-style,
+CenterPoint) as pure configuration. Post-processing mirrors
+`detector3d_template.post_processing:178-284` (sigmoid + class-agnostic NMS)
+with fixed-shape outputs.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import iou3d
+from ...ops.selection import two_stage_topk
+from ...utils.config import as_cfg
+from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
+from ..backbones_2d.map_to_bev import Conv2DCollapse, HeightCompression, PointPillarScatter
+from ..backbones_3d.vfe import DynamicPillarVFE, MeanVFE, PillarVFE
+from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.center_head import CenterHead
+
+
+def _grid_info(ds_cfg):
+    """grid size (W, H, D) + voxel size from the dataset processor config
+    (reference threads these through `model_info_dict`)."""
+    pc = np.asarray(ds_cfg.POINT_CLOUD_RANGE, np.float32)
+    voxel = None
+    for proc in ds_cfg.get('DATA_PROCESSOR', []):
+        if 'VOXEL_SIZE' in proc:
+            voxel = np.asarray(proc.VOXEL_SIZE, np.float32)
+    if voxel is None:
+        voxel = np.asarray([0.16, 0.16, 4.0], np.float32)
+    grid = np.round((pc[3:6] - pc[0:3]) / voxel).astype(int)
+    return tuple(int(g) for g in grid), tuple(float(v) for v in voxel)
+
+
+class Detector3D(nn.Module):
+    model_cfg: Any
+    num_class: int
+    dataset_cfg: Any
+    class_names: Any = None
+
+    def setup(self):
+        cfg = as_cfg(self.model_cfg)
+        ds = as_cfg(self.dataset_cfg)
+        pc_range = tuple(ds.POINT_CLOUD_RANGE)
+        num_pf = ds.get('NUM_POINT_FEATURES', 4)
+        (gw, gh, gd), voxel = _grid_info(ds)
+        self._grid = (gw, gh, gd)
+        self._voxel = voxel
+        self._pc_range = pc_range
+
+        modules = []
+        if cfg.get('VFE') is not None:
+            name = cfg.VFE.NAME
+            if name == 'PillarVFE':
+                vfe = PillarVFE(model_cfg=cfg.VFE, num_point_features=num_pf,
+                                voxel_size=voxel, point_cloud_range=pc_range)
+            elif name == 'DynamicPillarVFE':
+                vfe = DynamicPillarVFE(model_cfg=cfg.VFE, num_point_features=num_pf,
+                                       voxel_size=voxel, point_cloud_range=pc_range,
+                                       grid_size=(gw, gh))
+            else:
+                vfe = MeanVFE(model_cfg=cfg.VFE, num_point_features=num_pf)
+            modules.append(vfe)
+            vfe_out = vfe.get_output_feature_dim()
+        else:
+            vfe_out = num_pf
+
+        if cfg.get('MAP_TO_BEV') is not None:
+            name = cfg.MAP_TO_BEV.NAME
+            m2b_cls = {'PointPillarScatter': PointPillarScatter,
+                       'HeightCompression': HeightCompression,
+                       'Conv2DCollapse': Conv2DCollapse}[name]
+            kwargs = {'model_cfg': cfg.MAP_TO_BEV}
+            if name == 'PointPillarScatter':
+                kwargs['grid_size'] = (gw, gh)
+            m2b = m2b_cls(**kwargs)
+            modules.append(m2b)
+            bev_in = m2b.num_bev_features
+        else:
+            bev_in = vfe_out
+
+        if cfg.get('BACKBONE_2D') is not None:
+            bb = BaseBEVBackbone(model_cfg=cfg.BACKBONE_2D, input_channels=bev_in)
+            modules.append(bb)
+            head_in = bb.num_bev_features
+        else:
+            head_in = bev_in
+
+        head_cfg = cfg.DENSE_HEAD
+        stride = head_cfg.TARGET_ASSIGNER_CONFIG.get('FEATURE_MAP_STRIDE', 2) \
+            if 'TARGET_ASSIGNER_CONFIG' in head_cfg else 2
+        fmap = (gw // stride, gh // stride)
+        if head_cfg.NAME == 'CenterHead':
+            self.dense_head = CenterHead(
+                model_cfg=head_cfg, input_channels=head_in, num_class=self.num_class,
+                grid_size=fmap, point_cloud_range=pc_range,
+                voxel_size=voxel[:2])
+        else:
+            self.dense_head = AnchorHeadSingle(
+                model_cfg=head_cfg, input_channels=head_in, num_class=self.num_class,
+                class_names=self.class_names, grid_size=fmap,
+                point_cloud_range=pc_range)
+        self.module_list = modules
+
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        batch = dict(batch)
+        for m in self.module_list:
+            batch = m(batch, training=training)
+        batch = self.dense_head(batch, training=training)
+        return batch
+
+    def forward_with_loss(self, batch: dict, training: bool = True):
+        out = self(batch, training=training)
+        loss, tb = self.get_training_loss(out)
+        return loss, tb
+
+    def predict(self, batch: dict) -> dict:
+        out = self(batch, training=False)
+        return self.post_process(out)
+
+    def get_training_loss(self, batch: dict):
+        if isinstance(self.dense_head, CenterHead):
+            H, W = batch['spatial_features_2d'].shape[1:3]
+            targets = self.dense_head.assign_targets(
+                batch['gt_boxes'], batch['gt_mask'], (H, W))
+        else:
+            targets = self.dense_head.assign_targets(batch)
+        loss, tb = self.dense_head.get_loss(batch, targets)
+        tb['loss'] = loss
+        return loss, tb
+
+    def post_process(self, batch: dict) -> dict:
+        pp = as_cfg(self.model_cfg).POST_PROCESSING
+        nms_cfg = pp.NMS_CONFIG
+        if isinstance(self.dense_head, CenterHead):
+            hm = self.dense_head.generate_predicted_boxes(batch)
+            boxes, scores = hm['pred_boxes'], hm['pred_scores']
+            labels, valid = hm['pred_labels'] + 1, hm['pred_mask']
+        else:
+            cls_preds, boxes = self.dense_head.generate_predicted_boxes(batch)
+            probs = jax.nn.sigmoid(cls_preds)                    # (B, A, nc)
+            scores_all = jnp.max(probs, axis=-1)
+            labels_all = jnp.argmax(probs, axis=-1) + 1
+            K = min(nms_cfg.NMS_PRE_MAXSIZE * 2, scores_all.shape[1])
+            scores, sel = two_stage_topk(scores_all, K)
+            boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
+            labels = jnp.take_along_axis(labels_all, sel, axis=1)
+            valid = jnp.ones_like(scores, bool)
+
+        valid = valid & (scores > pp.get('SCORE_THRESH', 0.1))
+
+        def per_sample(b, s, l, v):
+            if nms_cfg.get('NMS_TYPE', 'nms_bev') == 'circle_nms':
+                idx, keep = iou3d.circle_nms(
+                    b, s, nms_cfg.get('NMS_RADIUS', 1.0),
+                    pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
+                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
+            else:
+                idx, keep = iou3d.nms_bev(
+                    b, s, nms_cfg.NMS_THRESH, pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
+                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
+            return b[idx], s[idx] * keep, l[idx] * keep, keep
+
+        fb, fs, fl, fm = jax.vmap(per_sample)(boxes[..., :7], scores, labels, valid)
+        return {'pred_boxes': fb, 'pred_scores': fs, 'pred_labels': fl,
+                'pred_mask': fm}

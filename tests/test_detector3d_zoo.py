@@ -1,0 +1,159 @@
+"""Config-assembled detector zoo: PointPillar (anchor head) and CenterPoint
+(heatmap head) tiny-shape forward + loss + predict on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pdm_ssd_tpu.utils.config import CfgNode
+from pdm_ssd_tpu.models import build_network
+
+
+def ds_cfg_voxel():
+    return CfgNode({
+        'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+        'NUM_POINT_FEATURES': 4,
+        'DATA_PROCESSOR': [
+            {'NAME': 'transform_points_to_voxels', 'VOXEL_SIZE': [1.0, 1.0, 4.0],
+             'MAX_POINTS_PER_VOXEL': 8,
+             'MAX_NUMBER_OF_VOXELS': {'train': 128, 'test': 128}},
+        ],
+    })
+
+
+def pointpillar_cfg():
+    return CfgNode({
+        'NAME': 'PointPillar',
+        'VFE': {'NAME': 'PillarVFE', 'WITH_DISTANCE': False,
+                'USE_ABSLOTE_XYZ': True, 'USE_NORM': True, 'NUM_FILTERS': [16]},
+        'MAP_TO_BEV': {'NAME': 'PointPillarScatter', 'NUM_BEV_FEATURES': 16},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1, 1],
+                        'LAYER_STRIDES': [2, 2], 'NUM_FILTERS': [16, 32],
+                        'UPSAMPLE_STRIDES': [1, 2],
+                        'NUM_UPSAMPLE_FILTERS': [16, 16]},
+        'DENSE_HEAD': {
+            'NAME': 'AnchorHeadSingle', 'CLASS_AGNOSTIC': False,
+            'USE_DIRECTION_CLASSIFIER': True, 'DIR_OFFSET': 0.78539,
+            'DIR_LIMIT_OFFSET': 0.0, 'NUM_DIR_BINS': 2,
+            'TARGET_ASSIGNER_CONFIG': {'NAME': 'AxisAlignedTargetAssigner',
+                                       'FEATURE_MAP_STRIDE': 2,
+                                       'MATCH_HEIGHT': False,
+                                       'BOX_CODER': 'ResidualCoder'},
+            'ANCHOR_GENERATOR_CONFIG': [
+                {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+                 'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+                 'matched_threshold': 0.6, 'unmatched_threshold': 0.45},
+                {'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+                 'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+                 'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+                {'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+                 'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+                 'matched_threshold': 0.5, 'unmatched_threshold': 0.35},
+            ],
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+                'code_weights': [1.0] * 7}},
+        },
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.1,
+                           'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16}},
+    })
+
+
+def centerpoint_cfg():
+    return CfgNode({
+        'NAME': 'CenterPoint',
+        'VFE': {'NAME': 'DynamicPillarVFE'},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                        'LAYER_STRIDES': [2], 'NUM_FILTERS': [16],
+                        'UPSAMPLE_STRIDES': [1], 'NUM_UPSAMPLE_FILTERS': [16]},
+        'DENSE_HEAD': {
+            'NAME': 'CenterHead', 'CLASS_AGNOSTIC': False,
+            'CLASS_NAMES_EACH_HEAD': [['Car', 'Pedestrian', 'Cyclist']],
+            'SHARED_CONV_CHANNEL': 16, 'NUM_HM_CONV': 2,
+            'SEPARATE_HEAD_CFG': {
+                'HEAD_ORDER': ['center', 'center_z', 'dim', 'rot'],
+                'HEAD_DICT': {
+                    'center': {'out_channels': 2, 'num_conv': 2},
+                    'center_z': {'out_channels': 1, 'num_conv': 2},
+                    'dim': {'out_channels': 3, 'num_conv': 2},
+                    'rot': {'out_channels': 2, 'num_conv': 2}}},
+            'TARGET_ASSIGNER_CONFIG': {'FEATURE_MAP_STRIDE': 2,
+                                       'NUM_MAX_OBJS': 8,
+                                       'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'cls_weight': 1.0, 'loc_weight': 2.0, 'code_weights': [1.0] * 8}},
+            'POST_PROCESSING': {'SCORE_THRESH': 0.05,
+                                'POST_CENTER_LIMIT_RANGE': [0, -16, -3, 32, 16, 1],
+                                'MAX_OBJ_PER_SAMPLE': 16}},
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'circle_nms', 'NMS_RADIUS': 0.8,
+                           'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16}},
+    })
+
+
+def make_batch(rng, B=2, N=128):
+    pts = np.stack([rng.uniform(0, 32, (B, N)), rng.uniform(-16, 16, (B, N)),
+                    rng.uniform(-3, 1, (B, N)), rng.rand(B, N)], -1).astype(np.float32)
+    gt = np.zeros((B, 4, 8), np.float32)
+    gt[:, :, 0] = rng.uniform(4, 28, (B, 4))
+    gt[:, :, 1] = rng.uniform(-12, 12, (B, 4))
+    gt[:, :, 2] = -1.0
+    gt[:, :, 3:6] = [3.9, 1.6, 1.56]
+    gt[:, :, 6] = rng.uniform(-np.pi, np.pi, (B, 4))
+    gt[:, :, 7] = rng.randint(1, 4, (B, 4))
+    # voxel tensors for the PillarVFE path
+    V, P = 128, 8
+    vox = np.zeros((B, V, P, 4), np.float32)
+    coords = np.zeros((B, V, 3), np.int32)
+    nump = np.zeros((B, V), np.int32)
+    for b in range(B):
+        for v in range(64):
+            k = rng.randint(1, P)
+            vox[b, v, :k] = pts[b, rng.randint(0, N, k)]
+            coords[b, v] = [0, rng.randint(0, 32), rng.randint(0, 32)]
+            nump[b, v] = k
+    return {
+        'points': jnp.asarray(pts), 'gt_boxes': jnp.asarray(gt),
+        'gt_mask': jnp.ones((B, 4), bool), 'voxels': jnp.asarray(vox),
+        'voxel_coords': jnp.asarray(coords), 'voxel_num_points': jnp.asarray(nump),
+        'voxel_mask': jnp.asarray(nump > 0),
+    }
+
+
+@pytest.mark.parametrize('cfg_fn', [pointpillar_cfg, centerpoint_cfg])
+def test_zoo_forward_loss_predict(cfg_fn, rng):
+    model = build_network(cfg_fn(), num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    B = batch['points'].shape[0]
+    assert dets['pred_boxes'].shape[0] == B
+    assert dets['pred_boxes'].shape[2] == 7
+    assert dets['pred_mask'].dtype == bool
+
+
+def test_anchor_assignment_positive_hit(rng):
+    """A gt box exactly on an anchor must produce a positive anchor."""
+    from pdm_ssd_tpu.models.dense_heads.anchor_head import AnchorHeadSingle
+    cfg = pointpillar_cfg()['DENSE_HEAD']
+    head = AnchorHeadSingle(model_cfg=cfg, input_channels=16, num_class=3,
+                            class_names=['Car', 'Pedestrian', 'Cyclist'],
+                            grid_size=(16, 16), point_cloud_range=(0, -16, -3, 32, 16, 1))
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0] = [16.0, 0.0, -1.0, 3.9, 1.6, 1.56, 0.0, 1]   # Car on-grid
+    # anchor centers on this 2 m test grid sit at odd coordinates
+    gt[0, 1] = [7.0, 3.0, -0.6 + 1.73 / 2, 0.8, 0.6, 1.73, 0.0, 2]
+    batch = {'gt_boxes': jnp.asarray(gt), 'gt_mask': jnp.ones((1, 2), bool)}
+    t = head.assign_targets(batch)
+    labels = np.asarray(t['anchor_cls_labels'])[0]
+    assert (labels == 1).sum() >= 1, 'car anchor matched'
+    assert (labels == 2).sum() >= 1, 'pedestrian anchor matched'
+    assert (labels == 0).sum() > 0.8 * labels.size
