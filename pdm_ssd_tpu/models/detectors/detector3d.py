@@ -26,6 +26,7 @@ from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import Conv2DCollapse, HeightCompression, PointPillarScatter
 from ..backbones_3d.vfe import DynamicPillarVFE, MeanVFE, PillarVFE
+from ..backbones_3d.voxel_backbone import DenseVoxelBackBone8x
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
 
@@ -76,6 +77,13 @@ class Detector3D(nn.Module):
             vfe_out = vfe.get_output_feature_dim()
         else:
             vfe_out = num_pf
+
+        if cfg.get('BACKBONE_3D') is not None:
+            bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
+                                        input_channels=vfe_out,
+                                        grid_size=(gw, gh, gd))
+            modules.append(bb3d)
+            vfe_out = bb3d.num_bev_features
 
         if cfg.get('MAP_TO_BEV') is not None:
             name = cfg.MAP_TO_BEV.NAME

@@ -157,3 +157,47 @@ def test_anchor_assignment_positive_hit(rng):
     assert (labels == 1).sum() >= 1, 'car anchor matched'
     assert (labels == 2).sum() >= 1, 'pedestrian anchor matched'
     assert (labels == 0).sum() > 0.8 * labels.size
+
+
+def second_cfg():
+    cfg = pointpillar_cfg()
+    cfg['NAME'] = 'SECONDNet'
+    del cfg['MAP_TO_BEV']
+    cfg['VFE'] = {'NAME': 'MeanVFE'}
+    cfg['BACKBONE_3D'] = {'NAME': 'DenseVoxelBackBone8x',
+                          'NUM_FILTERS': [8, 8, 16, 16]}
+    cfg['BACKBONE_2D'] = {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                          'LAYER_STRIDES': [1], 'NUM_FILTERS': [32],
+                          'UPSAMPLE_STRIDES': [2], 'NUM_UPSAMPLE_FILTERS': [32]}
+    cfg['DENSE_HEAD']['TARGET_ASSIGNER_CONFIG']['FEATURE_MAP_STRIDE'] = 4
+    return cfg
+
+
+def ds_cfg_voxel3d():
+    return CfgNode({
+        'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+        'NUM_POINT_FEATURES': 4,
+        'DATA_PROCESSOR': [
+            {'NAME': 'transform_points_to_voxels', 'VOXEL_SIZE': [1.0, 1.0, 0.5],
+             'MAX_POINTS_PER_VOXEL': 8,
+             'MAX_NUMBER_OF_VOXELS': {'train': 128, 'test': 128}},
+        ],
+    })
+
+
+def test_second_voxel_backbone(rng):
+    model = build_network(second_cfg(), num_class=3, dataset_cfg=ds_cfg_voxel3d(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    # voxel coords need valid z bins for the 3D grid (D=8)
+    B, V, _ = batch['voxel_coords'].shape
+    coords = np.array(batch['voxel_coords'])
+    coords[..., 0] = np.random.RandomState(0).randint(0, 8, (B, V))
+    batch['voxel_coords'] = jnp.asarray(coords)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[2] == 7
