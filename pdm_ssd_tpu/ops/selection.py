@@ -20,7 +20,10 @@ def two_stage_topk(x: jax.Array, k: int, block: int = 16):
     Exact except when two of the final top-k fall in the same length-`block`
     window (choose block so N/block >> k)."""
     n = x.shape[-1]
+    k = min(k, n)
     lead = x.shape[:-1]
+    if n // block <= k:  # too few blocks for the two-stage trick
+        return jax.lax.top_k(x, k)
     n_pad = (n + block - 1) // block * block
     if n_pad != n:
         x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, n_pad - n)],
