@@ -14,10 +14,12 @@ import numpy as np
 
 from .dataset import DatasetTemplate
 from .kitti.kitti_dataset import KittiDataset
+from .custom.custom_dataset import CustomDataset
 
 __all__ = {
     'DatasetTemplate': DatasetTemplate,
     'KittiDataset': KittiDataset,
+    'CustomDataset': CustomDataset,
 }
 
 

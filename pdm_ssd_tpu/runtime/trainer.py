@@ -32,7 +32,8 @@ class TrainState(struct.PyTreeNode):
 
 def _filter_device_batch(batch: dict) -> dict:
     """Keep only the array entries the jitted step consumes."""
-    keep = {'points', 'gt_boxes', 'gt_mask'}
+    keep = {'points', 'points_mask', 'gt_boxes', 'gt_mask',
+            'voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask'}
     return {k: v for k, v in batch.items() if k in keep}
 
 
@@ -79,14 +80,18 @@ def make_predict_step(model):
 
 def train_model(model, state, tx, train_loader, total_epochs, rank0_logger=None,
                 ckpt_manager=None, start_epoch=0, log_interval=50,
-                tb_writer=None, lr_sched=None):
+                tb_writer=None, lr_sched=None, hook_cfg=None, dataset=None):
     """Epoch loop (`train_utils.train_model:150-211` analog)."""
+    from .hooks import apply_epoch_hooks
     mesh = make_mesh()
     state = replicate(state, mesh)
     train_step = make_train_step(model, tx)
     accumulated_iter = int(jax.device_get(state.step))
 
     for epoch in range(start_epoch, total_epochs):
+        if dataset is not None:
+            apply_epoch_hooks(hook_cfg, dataset, epoch, total_epochs,
+                              logger=rank0_logger)
         t0 = time.time()
         for it, batch in enumerate(train_loader):
             device_batch = shard_batch(_filter_device_batch(batch), mesh)

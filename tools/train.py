@@ -98,7 +98,8 @@ def main():
     trainer.train_model(model, state, tx, train_loader, total_epochs=epochs,
                         rank0_logger=logger, ckpt_manager=ckpt_manager,
                         start_epoch=start_epoch, tb_writer=tb_writer,
-                        lr_sched=lr_sched)
+                        lr_sched=lr_sched, hook_cfg=cfg.get('HOOK'),
+                        dataset=train_set)
     logger.info('**********************End training**********************')
 
 
