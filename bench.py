@@ -20,9 +20,20 @@ import numpy as np
 
 BASELINE_FPS = 68.0
 
+def _enable_compilation_cache():
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          str(REPO / '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    except Exception:
+        pass
+
+
 
 def main():
     import jax
+    _enable_compilation_cache()
     from __graft_entry__ import _flagship, _make_batch
 
     batch_size = 8

@@ -49,15 +49,15 @@ class SAModuleMSG(nn.Module):
             new_xyz = xyz[:, :self.npoint]
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
-            new_xyz = p2.gather_operation(xyz, fps_idx)
+            new_xyz = dispatch.gather_operation(xyz, fps_idx)
 
         outs = []
         for i, (radius, nsample, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
             idx = dispatch.ball_query(radius, nsample, xyz, new_xyz,
                                       pc_range=self.pc_range)
-            grouped_xyz = p2.grouping_operation(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = dispatch.grouping_operation(xyz, idx) - new_xyz[:, :, None, :]
             if features is not None:
-                grouped_feats = p2.grouping_operation(features, idx)
+                grouped_feats = dispatch.grouping_operation(features, idx)
                 grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1) \
                     if self.use_xyz else grouped_feats
             else:

@@ -33,3 +33,21 @@ def ball_query(radius: float, nsample: int, xyz, new_xyz, pc_range=None, cap: in
         return grid_ball_query(radius, nsample, xyz, new_xyz, cap=cap,
                                pc_range=tuple(pc_range))
     return ref.ball_query(radius, nsample, xyz, new_xyz)
+
+
+def grouping_operation(features, idx):
+    """Neighbor feature grouping: features (B, N, C), idx (B, M, K) ->
+    (B, M, K, C). TPU: one-hot matmul kernel (`pallas/onehot_gather.py`);
+    CPU: XLA take_along_axis."""
+    if _on_tpu():
+        from .pallas.onehot_gather import gather_rows
+        return gather_rows(features, idx)
+    return ref.grouping_operation(features, idx)
+
+
+def gather_operation(features, idx):
+    """features (B, N, C), idx (B, M) -> (B, M, C)."""
+    if _on_tpu():
+        from .pallas.onehot_gather import gather_rows
+        return gather_rows(features, idx)
+    return ref.gather_operation(features, idx)

@@ -79,26 +79,32 @@ def grid_ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Ar
     nx = jnp.clip(cx[..., None] + offs[None, None, :, 1], 0, W - 1)
     ncell = ny * W + nx                                     # (B, M, 9)
 
-    def gather_one(tab, cells):
-        return tab[cells]                                    # (M, 9, cap)
-
-    cand = jax.vmap(gather_one)(table, ncell).reshape(B, M, 9 * cap)  # point idx, N = invalid
-
-    def gather_xyz(pts, idx):
-        padded = jnp.concatenate([pts, jnp.full((1, 3), 1e9, pts.dtype)], axis=0)
-        return padded[idx]                                   # (M, 9cap, 3)
-
-    cxyz = jax.vmap(gather_xyz)(xyz, cand)
+    # candidate + coordinate gathers via the one-hot matmul kernel (XLA's
+    # serial gather costs ~75ns/element; see pallas/onehot_gather.py)
+    from .pallas.onehot_gather import gather_rows
+    cand = gather_rows(table, ncell).reshape(B, M, 9 * cap)   # point idx, N = invalid
+    xyz_pad = jnp.concatenate(
+        [xyz, jnp.full((B, 1, 3), 1e9, xyz.dtype)], axis=1)
+    cxyz = gather_rows(xyz_pad, jnp.clip(cand, 0, N))         # (B, M, 9cap, 3)
     d2 = jnp.sum((cxyz - new_xyz[:, :, None, :]) ** 2, axis=-1)      # (B, M, 9cap)
-    within = d2 < radius * radius
+    within = (d2 < radius * radius) & (cand < N)
 
-    C = 9 * cap
-    pos = jnp.arange(C, dtype=jnp.int32)
-    key = jnp.where(within, pos, C + pos)                    # first hits sort first
-    neg_key, take = jax.lax.top_k(-key, nsample)             # (B, M, K)
-    hit = (-neg_key) < C
-    sel = jnp.take_along_axis(cand, take, axis=-1)
-    first = sel[..., :1]
-    any_hit = hit[..., :1]
-    idx = jnp.where(hit, sel, jnp.where(any_hit, first, 0))
+    # Select up to `nsample` in-ball candidates WITHOUT top_k/sort (a 432-wide
+    # top_k costs ~0.5s on this TPU): modular-rank masked max. rank = in-ball
+    # ordinal; slot k takes the max candidate among rank % K == k. Ranks are
+    # contiguous, so >=K hits fill all K slots with distinct neighbors; <K hits
+    # leave empty slots backfilled with the first hit (reference semantics,
+    # `ball_query_gpu.cu:41-45`); zero hits -> index 0. The chosen subset
+    # differs from CUDA's first-K, which is immaterial: the consumer max-pools
+    # over the group, and any in-ball subset is an equally valid sample.
+    rank = jnp.cumsum(within, axis=-1) - 1                    # (B, M, C)
+    mod = rank % nsample
+    slots = []
+    for k in range(nsample):
+        m = within & (mod == k)
+        slots.append(jnp.max(jnp.where(m, cand, -1), axis=-1))
+    idx = jnp.stack(slots, axis=-1)                           # (B, M, K)
+    first = idx[..., 0:1]
+    any_hit = first >= 0
+    idx = jnp.where(idx >= 0, idx, jnp.where(any_hit, first, 0))
     return idx.astype(jnp.int32)

@@ -34,6 +34,16 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _split_dot(oh, chunk):
+    """bf16 hi/lo-split matmul: exact to ~2^-16 relative (the one-hot lhs is
+    exact; the rhs f32 is split into two bf16 parts). Keeps geometry and
+    integer payloads accurate while staying on the bf16 MXU path."""
+    hi = chunk.astype(jnp.bfloat16)
+    lo = (chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+
+
 def _gather_kernel(idx_ref, src_ref, out_ref, *, n_chunk: int, n: int):
     # idx_ref: (1, 1, BR) int32; src_ref: (1, N, C); out_ref: (1, BR, C)
     br = out_ref.shape[1]
@@ -45,8 +55,8 @@ def _gather_kernel(idx_ref, src_ref, out_ref, *, n_chunk: int, n: int):
         n0 = s * n_chunk
         rows = jax.lax.broadcasted_iota(jnp.int32, (br, n_chunk), 1) + n0
         oh = (rows == idx[:, None]).astype(jnp.bfloat16)       # (BR, CN)
-        chunk = src_ref[0, pl.ds(n0, n_chunk), :].astype(jnp.bfloat16)
-        return acc + jnp.dot(oh, chunk, preferred_element_type=jnp.float32)
+        chunk = src_ref[0, pl.ds(n0, n_chunk), :].astype(jnp.float32)
+        return acc + _split_dot(oh, chunk)
 
     acc = jax.lax.fori_loop(0, n_steps, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -93,8 +103,11 @@ def _gather_cols_kernel(idx_ref, srcT_ref, out_ref, *, n_chunk: int, n: int):
         n0 = s * n_chunk
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_chunk, br), 0) + n0
         oh = (rows == idx[None, :]).astype(jnp.bfloat16)       # (CN, BR)
-        chunk = srcT_ref[0, :, pl.ds(n0, n_chunk)].astype(jnp.bfloat16)  # (C, CN)
-        return acc + jnp.dot(chunk, oh, preferred_element_type=jnp.float32)
+        chunk = srcT_ref[0, :, pl.ds(n0, n_chunk)].astype(jnp.float32)  # (C, CN)
+        hi = chunk.astype(jnp.bfloat16)
+        lo = (chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (acc + jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+                + jnp.dot(lo, oh, preferred_element_type=jnp.float32))
 
     acc = jax.lax.fori_loop(0, n_steps, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -133,9 +146,13 @@ def _gather_cols_batched(srcT: jax.Array, idx: jax.Array, block_r: int = 512,
 def gather_rows(src: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched row gather: src (B, N, C), idx (B, ...) -> (B, ..., C).
     Out-of-range indices return zeros. Dispatches to the transposed kernel for
-    C < 128 (lane-padding economy)."""
+    C < 128 (lane-padding economy). Integer sources roundtrip through f32
+    (exact below 2^24 thanks to the hi/lo-split matmul)."""
     B, N, C = src.shape
     batch_shape = idx.shape[1:]
+    out_dtype = src.dtype
+    if jnp.issubdtype(src.dtype, jnp.integer):
+        src = src.astype(jnp.float32)
     flat_idx = idx.reshape(B, -1)
     flat_idx = jnp.where((flat_idx >= 0) & (flat_idx < N), flat_idx, N)
     src_p = jnp.pad(src, ((0, 0), (0, 1), (0, 0)))
@@ -144,6 +161,8 @@ def gather_rows(src: jax.Array, idx: jax.Array) -> jax.Array:
         out = jnp.swapaxes(_gather_cols_batched(srcT, flat_idx), 1, 2)
     else:
         out = _gather_rows_batched(src_p, flat_idx)
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        out = jnp.round(out).astype(out_dtype)
     return out.reshape((B,) + batch_shape + (C,))
 
 

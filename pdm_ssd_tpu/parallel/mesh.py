@@ -46,3 +46,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def replicate(tree, mesh: Mesh):
     _, rep = data_parallel_shardings(mesh)
     return jax.device_put(tree, rep)
+
+
+def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
+    """Mesh whose data axis divides `batch_size` (eval batches may be smaller
+    than the device count; use the largest compatible device subset)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))

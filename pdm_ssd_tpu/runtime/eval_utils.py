@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from ..ops import iou3d
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh_for_batch, shard_batch
 from .trainer import make_predict_step, _filter_device_batch
 
 
@@ -40,7 +40,7 @@ def _recall_counts(pred_boxes, pred_mask, gt_boxes, gt_mask, thresh_list):
 
 def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
                    logger=None, result_dir=None, thresh_list=(0.3, 0.5, 0.7)):
-    mesh = make_mesh()
+    mesh = None
     predict = make_predict_step(model)
     det_annos = []
     recall_totals = {f'recall_{t}': 0 for t in thresh_list}
@@ -49,6 +49,8 @@ def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
     n_frames = 0
 
     for i, batch in enumerate(dataloader):
+        if mesh is None:
+            mesh = make_mesh_for_batch(batch['batch_size'])
         device_batch = shard_batch(_filter_device_batch(batch), mesh)
         t0 = time.perf_counter()
         dets = predict(params, batch_stats, device_batch)
