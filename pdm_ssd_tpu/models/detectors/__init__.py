@@ -6,6 +6,7 @@ the reference's module-topology pattern as pure configuration.
 """
 from .detector3d import Detector3D
 from .pdm_ssd import PDMSSD
+from .point_rcnn import PointRCNN
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -13,6 +14,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PDMSSD':
         return PDMSSD(model_cfg=model_cfg, num_class=num_class,
                       dataset_cfg=dataset_cfg)
+    if name == 'PointRCNN':
+        return PointRCNN(model_cfg=model_cfg, num_class=num_class,
+                         dataset_cfg=dataset_cfg)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,
                           dataset_cfg=dataset_cfg, class_names=class_names)

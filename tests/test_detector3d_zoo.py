@@ -201,3 +201,68 @@ def test_second_voxel_backbone(rng):
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[2] == 7
+
+
+def pointrcnn_cfg():
+    return CfgNode({
+        'NAME': 'PointRCNN',
+        'BACKBONE_3D': {
+            'NAME': 'PointNet2MSG',
+            'SA_CONFIG': {
+                'NPOINTS': [64, 32],
+                'RADIUS': [[0.5, 1.0], [1.0, 2.0]],
+                'NSAMPLE': [[8, 8], [8, 8]],
+                'MLPS': [[[8, 8], [8, 8]], [[16, 16], [16, 16]]],
+            },
+            'FP_MLPS': [],
+        },
+        'POINT_HEAD': {
+            'NAME': 'PointHeadBox', 'CLS_FC': [16], 'REG_FC': [16],
+            'TARGET_CONFIG': {
+                'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+                'BOX_CODER': 'PointResidualCoder',
+                'BOX_CODER_CONFIG': {
+                    'use_mean_size': True,
+                    'mean_size': [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73],
+                                  [1.76, 0.6, 1.73]]}},
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'point_cls_weight': 1.0, 'point_box_weight': 1.0,
+                'code_weights': [1.0] * 8}},
+        },
+        'ROI_HEAD': {
+            'NAME': 'PointRCNNHead',
+            'NUM_SAMPLED_POINTS': 16, 'ROI_POINT_EXTRA': 0.6,
+            'XYZ_UP_LAYER': [32, 32], 'SHARED_FC': [32], 'CLS_FC': [32],
+            'REG_FC': [32],
+            'NMS_CONFIG': {
+                'TRAIN': {'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16,
+                          'NMS_THRESH': 0.8},
+                'TEST': {'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16,
+                         'NMS_THRESH': 0.85}},
+            'TARGET_CONFIG': {'CLS_FG_THRESH': 0.6, 'CLS_BG_THRESH': 0.45,
+                              'REG_FG_THRESH': 0.55, 'CLS_BG_THRESH_LO': 0.1},
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                'code_weights': [1.0] * 7}},
+        },
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.1,
+                           'NMS_PRE_MAXSIZE': 16, 'NMS_POST_MAXSIZE': 8}},
+    })
+
+
+def test_pointrcnn_two_stage(rng):
+    ds = CfgNode({'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+                  'NUM_POINT_FEATURES': 4})
+    model = build_network(pointrcnn_cfg(), num_class=3, dataset_cfg=ds)
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'rcnn_cls_loss' in tb and 'point_loss_cls' in tb
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[2] == 7
+    assert dets['pred_mask'].dtype == bool

@@ -29,6 +29,12 @@ def parse_config():
     parser.add_argument('--ckpt', type=str, default=None,
                         help='checkpoint dir (orbax CheckpointManager root)')
     parser.add_argument('--ckpt_step', type=int, default=None)
+    parser.add_argument('--eval_all', action='store_true', default=False,
+                        help='evaluate every checkpoint the manager produces')
+    parser.add_argument('--max_waiting_mins', type=int, default=30,
+                        help='max minutes to wait for new checkpoints (--eval_all)')
+    parser.add_argument('--profile', action='store_true', default=False,
+                        help='capture a jax.profiler trace of the first eval batches')
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
@@ -64,17 +70,54 @@ def main():
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
         total_iters_each_epoch=1, total_epochs=1)
 
+    def run_eval(state, tag=''):
+        if args.profile:
+            import jax
+            jax.profiler.start_trace(str(eval_dir / 'profile'))
+        ret = eval_utils.eval_one_epoch(
+            model, state.params, state.batch_stats, test_loader, test_set,
+            cfg.CLASS_NAMES, logger=logger, result_dir=eval_dir)
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {eval_dir / 'profile'}")
+        logger.info(f'{tag}{ret}')
+        return ret
+
+    if args.ckpt and args.eval_all:
+        # poll the checkpoint dir, evaluating each new step
+        # (`repeat_eval_ckpt`, reference test.py:89-135)
+        import time as _time
+        ckpt_manager = trainer.make_checkpoint_manager(str(Path(args.ckpt).resolve()))
+        evaluated = set()
+        record = eval_dir / 'eval_list_val.txt'
+        if record.exists():
+            evaluated = set(int(x) for x in record.read_text().split())
+        waited = 0.0
+        while True:
+            steps = [s for s in (ckpt_manager.all_steps() or []) if s not in evaluated]
+            if not steps:
+                if waited >= args.max_waiting_mins * 60:
+                    break
+                _time.sleep(30)
+                waited += 30
+                continue
+            waited = 0.0
+            for s in sorted(steps):
+                state, _ = trainer.restore_checkpoint(ckpt_manager, state, step=s)
+                run_eval(state, tag=f'[epoch {s}] ')
+                evaluated.add(s)
+                with open(record, 'a') as f:
+                    f.write(f'{s}\n')
+        return
+
     if args.ckpt:
         ckpt_manager = trainer.make_checkpoint_manager(str(Path(args.ckpt).resolve()))
         state, step = trainer.restore_checkpoint(ckpt_manager, state, step=args.ckpt_step)
         logger.info(f'loaded checkpoint step {step}')
     else:
         logger.warning('no --ckpt given: evaluating randomly initialized weights')
-
-    ret = eval_utils.eval_one_epoch(
-        model, state.params, state.batch_stats, test_loader, test_set,
-        cfg.CLASS_NAMES, logger=logger, result_dir=eval_dir)
-    logger.info(str(ret))
+    run_eval(state)
 
 
 if __name__ == '__main__':
