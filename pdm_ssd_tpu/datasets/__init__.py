@@ -16,12 +16,14 @@ from .dataset import DatasetTemplate
 from .kitti.kitti_dataset import KittiDataset
 from .custom.custom_dataset import CustomDataset
 from .nuscenes.nuscenes_dataset import NuScenesDataset
+from .waymo.waymo_dataset import WaymoDataset
 
 __all__ = {
     'DatasetTemplate': DatasetTemplate,
     'KittiDataset': KittiDataset,
     'CustomDataset': CustomDataset,
     'NuScenesDataset': NuScenesDataset,
+    'WaymoDataset': WaymoDataset,
 }
 
 

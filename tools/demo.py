@@ -73,7 +73,8 @@ def main():
     logger.info(f'Total number of samples: \t{len(demo_dataset)}')
 
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                          dataset_cfg=cfg.DATA_CONFIG)
+                          dataset_cfg=cfg.DATA_CONFIG,
+                          class_names=cfg.CLASS_NAMES)
     example = demo_dataset.collate_batch([demo_dataset[0]])
     state, tx, _ = trainer.create_train_state(
         model, trainer._filter_device_batch(example), cfg.OPTIMIZATION, 1, 1)

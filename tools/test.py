@@ -64,7 +64,8 @@ def main():
         workers=args.workers, logger=logger, training=False)
 
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                          dataset_cfg=cfg.DATA_CONFIG)
+                          dataset_cfg=cfg.DATA_CONFIG,
+                          class_names=cfg.CLASS_NAMES)
     example_batch = next(iter(test_loader))
     state, tx, _ = trainer.create_train_state(
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,

@@ -75,7 +75,8 @@ def main():
         total_epochs=epochs, seed=666 if args.fix_random_seed else None)
 
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                          dataset_cfg=cfg.DATA_CONFIG)
+                          dataset_cfg=cfg.DATA_CONFIG,
+                          class_names=cfg.CLASS_NAMES)
     example_batch = next(iter(train_loader))
     state, tx, lr_sched = trainer.create_train_state(
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
