@@ -34,6 +34,10 @@ def _enable_compilation_cache():
 def main():
     import jax
     _enable_compilation_cache()
+    # single-pass bf16 matmul/conv lowering for f32 tensors (inference path;
+    # the heatmap/box numerics tolerate it — validated by the overfit and
+    # round-trip tests at this precision)
+    jax.config.update('jax_default_matmul_precision', 'bfloat16')
     from __graft_entry__ import _flagship, _make_batch
 
     batch_size = 8

@@ -75,8 +75,12 @@ class PDMNeckConv(nn.Module):
         coeffs = nn.Conv(n_sh * Cp, (1, 1), use_bias=False, name='sh_proj')(x)
         B, h, w, _ = coeffs.shape
 
-        # dilation + feature filling: conv with SH x Gaussian initialized kernel,
-        # block-structured (sh -> z) shared across the C' feature channels.
+        # dilation + feature filling: DENSE conv with the SH x Gaussian
+        # block-structure as init. (The mathematically-sufficient grouped form
+        # — Cp groups of (n_sh -> Dz) — is 1/Cp the FLOPs but measured 1.6x
+        # SLOWER end-to-end: tiny per-group contractions starve the 128x128
+        # MXU. Dense trades wasted-but-free FLOPs for full systolic occupancy
+        # and adds cross-channel mixing capacity on top of the analytic init.)
         def init_fn(key, shape, dtype=jnp.float32):
             K = sh_gaussian_kernel_init(win, n_sh, Dz, sigma)  # (w,w,9,Dz)
             full = np.zeros(shape, np.float32)  # (win, win, 9*Cp, Dz*Cp)
