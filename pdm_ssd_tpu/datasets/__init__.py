@@ -17,6 +17,7 @@ from .kitti.kitti_dataset import KittiDataset
 from .custom.custom_dataset import CustomDataset
 from .nuscenes.nuscenes_dataset import NuScenesDataset
 from .waymo.waymo_dataset import WaymoDataset
+from .once.once_dataset import ONCEDataset
 
 __all__ = {
     'DatasetTemplate': DatasetTemplate,
@@ -24,6 +25,7 @@ __all__ = {
     'CustomDataset': CustomDataset,
     'NuScenesDataset': NuScenesDataset,
     'WaymoDataset': WaymoDataset,
+    'ONCEDataset': ONCEDataset,
 }
 
 
