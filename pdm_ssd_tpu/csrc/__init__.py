@@ -1,0 +1,104 @@
+"""Native host-ops loader: builds `host_ops.cpp` with g++ on first import and
+binds it via ctypes (the image has no pybind11; a C ABI + ctypes is the
+binding layer). All callers keep numpy fallbacks — `lib()` returns None when
+no compiler is available, and nothing breaks.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / 'host_ops.cpp'
+_LOCK = threading.Lock()
+_LIB = 'unset'
+
+
+def _build() -> Path | None:
+    tag = hashlib.sha1(_SRC.read_bytes()).hexdigest()[:12]
+    so = _HERE / f'host_ops_{tag}.so'
+    if so.exists():
+        return so
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
+             str(_SRC), '-o', str(so)],
+            check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        return None
+
+
+def lib():
+    """ctypes handle to the native library, or None (numpy fallback)."""
+    global _LIB
+    if _LIB != 'unset':
+        return _LIB
+    with _LOCK:
+        if _LIB != 'unset':
+            return _LIB
+        so = _build()
+        if so is None:
+            _LIB = None
+            return None
+        L = ctypes.CDLL(str(so))
+        f32p = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
+        i32p = np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS')
+        L.rotated_overlap_bev.argtypes = [f32p, ctypes.c_int, f32p,
+                                          ctypes.c_int, f32p]
+        L.points_in_boxes_cpu.argtypes = [f32p, ctypes.c_int, f32p,
+                                          ctypes.c_int, i32p]
+        L.voxelize.argtypes = [f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+                               i32p, ctypes.c_int, ctypes.c_int, f32p, i32p,
+                               i32p]
+        L.voxelize.restype = ctypes.c_int
+        _LIB = L
+        return L
+
+
+def rotated_overlap_bev(rects_a: np.ndarray, rects_b: np.ndarray):
+    """(n, 5) x (m, 5) [cx, cy, dx, dy, angle] -> (n, m) areas, or None if no
+    native library."""
+    L = lib()
+    if L is None:
+        return None
+    a = np.ascontiguousarray(rects_a, np.float32)
+    b = np.ascontiguousarray(rects_b, np.float32)
+    out = np.zeros((len(a), len(b)), np.float32)
+    if len(a) and len(b):
+        L.rotated_overlap_bev(a, len(a), b, len(b), out)
+    return out
+
+
+def points_in_boxes_cpu(points: np.ndarray, boxes: np.ndarray):
+    L = lib()
+    if L is None:
+        return None
+    p = np.ascontiguousarray(points[:, :3], np.float32)
+    b = np.ascontiguousarray(boxes[:, :7], np.float32)
+    out = np.zeros((len(b), len(p)), np.int32)
+    if len(p) and len(b):
+        L.points_in_boxes_cpu(p, len(p), b, len(b), out)
+    return out
+
+
+def voxelize(points: np.ndarray, voxel_size, range_min, grid, max_pts, max_vox):
+    L = lib()
+    if L is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    nf = pts.shape[1]
+    voxels = np.zeros((max_vox, max_pts, nf), np.float32)
+    coords = np.zeros((max_vox, 3), np.int32)
+    num = np.zeros((max_vox,), np.int32)
+    n_vox = L.voxelize(pts, len(pts), nf,
+                       np.ascontiguousarray(voxel_size, np.float32),
+                       np.ascontiguousarray(range_min, np.float32),
+                       np.ascontiguousarray(grid, np.int32),
+                       int(max_pts), int(max_vox), voxels, coords, num)
+    return voxels[:n_vox], coords[:n_vox], num[:n_vox]

@@ -82,6 +82,14 @@ def points_in_boxes_cpu(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     center-z convention; mirrors `points_in_boxes_cpu`)."""
     if len(boxes) == 0 or len(points) == 0:
         return np.zeros((len(boxes), len(points)), np.int32)
+    try:
+        from ...csrc import points_in_boxes_cpu as native_pib
+        out = native_pib(np.asarray(points, np.float32),
+                         np.asarray(boxes, np.float32))
+        if out is not None:
+            return out
+    except Exception:
+        pass
     shift = points[None, :, 0:3] - boxes[:, None, 0:3]
     cosa, sina = np.cos(-boxes[:, 6]), np.sin(-boxes[:, 6])
     lx = shift[..., 0] * cosa[:, None] - shift[..., 1] * sina[:, None]

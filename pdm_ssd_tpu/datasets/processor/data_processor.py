@@ -110,6 +110,19 @@ class DataProcessor(object):
 
         points = data_dict['points']
         vs = np.asarray(config.VOXEL_SIZE, np.float32)
+        try:
+            from ...csrc import voxelize as native_voxelize
+            out = native_voxelize(
+                points, vs, self.point_cloud_range[0:3],
+                self.grid_size.astype(np.int32),
+                config.MAX_POINTS_PER_VOXEL,
+                config.MAX_NUMBER_OF_VOXELS[self.mode])
+            if out is not None:
+                data_dict['voxels'], data_dict['voxel_coords'], \
+                    data_dict['voxel_num_points'] = out
+                return data_dict
+        except Exception:
+            pass
         coords = np.floor((points[:, 0:3] - self.point_cloud_range[0:3]) / vs).astype(np.int64)
         valid = np.all((coords >= 0) & (coords < self.grid_size), axis=1)
         points, coords = points[valid], coords[valid]

@@ -26,11 +26,21 @@ def _bev_corners(boxes: np.ndarray) -> np.ndarray:
 
 
 def boxes_bev_overlap_cpu(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
-    """(N, 7) x (M, 7) -> (N, M) rotated BEV intersection area, vectorized over
-    all pairs simultaneously (fixed 16-slot vertex buffers + counts)."""
+    """(N, 7) x (M, 7) -> (N, M) rotated BEV intersection area. Uses the native
+    C++ library (`pdm_ssd_tpu/csrc/host_ops.cpp`) when available, else the
+    vectorized numpy clipping below."""
     N, M = len(boxes_a), len(boxes_b)
     if N == 0 or M == 0:
         return np.zeros((N, M), np.float32)
+    try:
+        from ..csrc import rotated_overlap_bev
+        ra = np.ascontiguousarray(boxes_a[:, [0, 1, 3, 4, 6]], np.float32)
+        rb = np.ascontiguousarray(boxes_b[:, [0, 1, 3, 4, 6]], np.float32)
+        out = rotated_overlap_bev(ra, rb)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     ca = _bev_corners(boxes_a.astype(np.float32))   # (N, 4, 2)
     cb = _bev_corners(boxes_b.astype(np.float32))   # (M, 4, 2)
 
@@ -85,7 +95,16 @@ def boxes_bev_iou_cpu(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
 
 def rect_overlap_cpu(rects_a: np.ndarray, rects_b: np.ndarray) -> np.ndarray:
     """(N, 5) x (M, 5) rotated-rect [cx, cy, dx, dy, angle] intersection areas.
-    Thin wrapper building fake 7-dof boxes for `boxes_bev_overlap_cpu`."""
+    Native C++ when available, else the numpy clipping path."""
+    try:
+        from ..csrc import rotated_overlap_bev
+        out = rotated_overlap_bev(np.asarray(rects_a, np.float32),
+                                  np.asarray(rects_b, np.float32))
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     def to7(r):
         out = np.zeros((len(r), 7), np.float32)
         out[:, 0:2] = r[:, 0:2]
