@@ -34,6 +34,8 @@ def parse_config():
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
     parser.add_argument('--max_ckpt_save_num', type=int, default=5)
     parser.add_argument('--merge_all_iters_to_one_epoch', action='store_true', default=False)
+    parser.add_argument('--profile', action='store_true', default=False,
+                        help='capture a jax.profiler trace of the first training steps')
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -96,11 +98,16 @@ def main():
         pass
 
     logger.info('**********************Start training**********************')
+    if args.profile:
+        jax.profiler.start_trace(str(output_dir / 'profile'))
     trainer.train_model(model, state, tx, train_loader, total_epochs=epochs,
                         rank0_logger=logger, ckpt_manager=ckpt_manager,
                         start_epoch=start_epoch, tb_writer=tb_writer,
                         lr_sched=lr_sched, hook_cfg=cfg.get('HOOK'),
                         dataset=train_set)
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {output_dir / 'profile'}")
     logger.info('**********************End training**********************')
 
 
