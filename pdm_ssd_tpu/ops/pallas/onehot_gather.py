@@ -150,6 +150,17 @@ def gather_rows(src: jax.Array, idx: jax.Array) -> jax.Array:
     (exact below 2^24 thanks to the hi/lo-split matmul)."""
     B, N, C = src.shape
     batch_shape = idx.shape[1:]
+    # the one-hot formulation keeps the whole (N, C) table VMEM-resident and
+    # spends FLOPs proportional to N — beyond ~8MB tables fall back to the XLA
+    # gather (slow but correct; a DMA-tiled kernel is the round-2 fix)
+    table_bytes = (N + 1) * max(C, 8 if C < 128 else 128) * 4
+    if table_bytes > 8 * 1024 * 1024:
+        safe_idx = jnp.clip(idx, 0, N - 1)
+        out = jnp.take_along_axis(
+            src, safe_idx.reshape(B, -1)[..., None], axis=1)
+        out = jnp.where((idx.reshape(B, -1) >= 0)[..., None]
+                        & (idx.reshape(B, -1) < N)[..., None], out, 0)
+        return out.reshape((B,) + batch_shape + (C,)).astype(src.dtype)
     out_dtype = src.dtype
     if jnp.issubdtype(src.dtype, jnp.integer):
         src = src.astype(jnp.float32)
