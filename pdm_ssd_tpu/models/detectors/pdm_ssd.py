@@ -161,7 +161,7 @@ class PDMSSD(nn.Module):
                 batch['point_coords'], batch['point_cls_preds'], batch['point_box_preds'])
             scores = jax.nn.sigmoid(jnp.max(cls_preds, axis=-1))
             labels = jnp.argmax(cls_preds, axis=-1) + 1
-            K = pp.get('VOTE_TOPK', 256)
+            K = min(pp.get('VOTE_TOPK', 256), scores.shape[1])
             top_scores, top_idx = jax.lax.top_k(scores, K)
             take = lambda t: jnp.take_along_axis(
                 t, top_idx.reshape(top_idx.shape + (1,) * (t.ndim - 2)), axis=1)
