@@ -60,6 +60,85 @@ def build_bucket_table(xyz: jax.Array, cell_size: float, grid_wh: tuple,
     return table.reshape(B, n_cells + 1, cap)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def build_bucket_table_payload(xyz: jax.Array, cell_size: float, grid_wh: tuple,
+                               cap: int, pc_min=(-80.0, -80.0)) -> jax.Array:
+    """Like `build_bucket_table` but each slot carries [x, y, z, point_idx]
+    (idx == N for empty slots) — feeds the DMA-based Pallas query kernel,
+    which then needs no second coordinate gather."""
+    B, N, _ = xyz.shape
+    W, H = grid_wh
+    n_cells = W * H
+    ix = jnp.floor((xyz[..., 0] - pc_min[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((xyz[..., 1] - pc_min[1]) / cell_size).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    cell = jnp.where(in_grid, iy * W + ix, n_cells)
+
+    order = jnp.argsort(cell, axis=1)
+    cell_sorted = jnp.take_along_axis(cell, order, axis=1)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cell_sorted[:, 1:] != cell_sorted[:, :-1]], axis=1)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    rank = pos - start_pos
+    ok = rank < cap
+    flat_slot = jnp.where(ok, cell_sorted * cap + rank, n_cells * cap)
+
+    xyz_sorted = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    payload = jnp.concatenate(
+        [xyz_sorted, order[..., None].astype(jnp.float32)], axis=-1)  # (B, N, 4)
+
+    def scatter_one(slots, pay):
+        table = jnp.full(((n_cells + 1) * cap, 4), 1e9, jnp.float32)
+        table = table.at[:, 3].set(float(N))
+        return table.at[slots].set(pay, mode='drop')
+
+    return jax.vmap(scatter_one)(flat_slot, payload)  # (B, (n_cells+1)*cap, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def build_bucket_table_packed(xyz: jax.Array, cell_size: float, grid_wh: tuple,
+                              pc_min=(-80.0, -80.0)) -> jax.Array:
+    """Packed bucket table for the Pallas DMA query kernel
+    (`pallas/grid_query.py`): one cell == one 128-lane row, channel-major
+    [x*32 | y*32 | z*32 | idx*32] (cap fixed at 32 slots). Returns
+    (B, n_cells + 1, 128) float32, empty slots carry x=y=z=1e9, idx=N."""
+    cap = 32
+    B, N, _ = xyz.shape
+    W, H = grid_wh
+    n_cells = W * H
+    ix = jnp.floor((xyz[..., 0] - pc_min[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((xyz[..., 1] - pc_min[1]) / cell_size).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    cell = jnp.where(in_grid, iy * W + ix, n_cells)
+
+    order = jnp.argsort(cell, axis=1)
+    cell_sorted = jnp.take_along_axis(cell, order, axis=1)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cell_sorted[:, 1:] != cell_sorted[:, :-1]], axis=1)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    rank = pos - start_pos
+    ok = rank < cap
+    base = jnp.where(ok, cell_sorted * 128 + rank, (n_cells + 1) * 128)
+
+    xyz_sorted = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    idxf = order.astype(jnp.float32)
+
+    def scatter_one(b_base, xs, ids):
+        flat = jnp.full(((n_cells + 1) * 128 + 1,), 1e9, jnp.float32)
+        # initialize idx channels to N (invalid)
+        lane = jnp.arange((n_cells + 1) * 128 + 1) % 128
+        flat = jnp.where(lane >= 96, float(N), flat)
+        for ch in range(3):
+            flat = flat.at[b_base + ch * cap].set(xs[:, ch], mode='drop')
+        flat = flat.at[b_base + 3 * cap].set(ids, mode='drop')
+        return flat[:-1]
+
+    flat = jax.vmap(scatter_one)(base, xyz_sorted, idxf)
+    return flat.reshape(B, n_cells + 1, 128)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def grid_ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
                     cap: int = 48, pc_range=(-80.0, -80.0, 80.0, 80.0)):
