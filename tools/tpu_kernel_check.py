@@ -66,6 +66,21 @@ def main():
         failures.append('grid_ball_query')
         print(f'FAIL grid_ball_query: within {frac}, counts {cnt_g.mean()} vs {cnt_e.mean()}')
 
+    # --- pallas DMA grid ball query ---
+    from pdm_ssd_tpu.ops.pallas.grid_query import grid_ball_query_pallas
+    idx = np.asarray(jax.device_get(grid_ball_query_pallas(
+        0.8, 16, xyz, cen, pc_range=(0., -40., 70.4, 40.))))
+    d = np.linalg.norm(pts[0][idx[0]] - np.asarray(cen)[0][:, None, :], axis=-1)
+    nonzero = (idx[0] != 0).any(axis=1)
+    frac = within = (d[nonzero] < 0.8 + 1e-4).mean()
+    cnt_p = np.array([len(set(r.tolist())) for r in idx[0][:512]])
+    if frac > 0.999 and abs(cnt_p.mean() - cnt_e.mean()) < 0.1:
+        print(f'PASS pallas grid query (DMA): within {frac:.4f}, '
+              f'count {cnt_p.mean():.2f} vs exact {cnt_e.mean():.2f}')
+    else:
+        failures.append('grid_query_pallas')
+        print(f'FAIL pallas grid query: within {frac}, counts {cnt_p.mean()} vs {cnt_e.mean()}')
+
     # --- one-hot gather ---
     src = jnp.asarray(rng.randn(2, 512, 64).astype(np.float32))
     gidx = jnp.asarray(rng.randint(0, 512, (2, 300)).astype(np.int32))
