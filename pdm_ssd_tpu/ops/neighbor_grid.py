@@ -187,3 +187,49 @@ def grid_ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Ar
     any_hit = first >= 0
     idx = jnp.where(idx >= 0, idx, jnp.where(any_hit, first, 0))
     return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def build_feature_table(xyz: jax.Array, features: jax.Array | None,
+                        cell_size: float, grid_wh: tuple,
+                        pc_min=(-80.0, -80.0)) -> jax.Array:
+    """Slot-major bucket table for the fused Pallas query+group kernel
+    (`pallas/grid_query.grid_query_group_pallas`): each cell owns 32
+    consecutive 128-lane rows, one per slot, carrying
+    [x, y, z, idx, feat_0..feat_{C-1}, 0-pad] (C <= 124).
+    Returns (B, (n_cells+1)*32, 128) float32; empty slots: idx = N."""
+    cap = 32
+    B, N, _ = xyz.shape
+    W, H = grid_wh
+    n_cells = W * H
+    C = 0 if features is None else features.shape[-1]
+    assert C <= 124, C
+
+    ix = jnp.floor((xyz[..., 0] - pc_min[0]) / cell_size).astype(jnp.int32)
+    iy = jnp.floor((xyz[..., 1] - pc_min[1]) / cell_size).astype(jnp.int32)
+    in_grid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    cell = jnp.where(in_grid, iy * W + ix, n_cells)
+
+    order = jnp.argsort(cell, axis=1)
+    cell_sorted = jnp.take_along_axis(cell, order, axis=1)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), cell_sorted[:, 1:] != cell_sorted[:, :-1]], axis=1)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    rank = pos - start_pos
+    ok = rank < cap
+    row = jnp.where(ok, cell_sorted * cap + rank, (n_cells + 1) * cap)
+
+    xyz_sorted = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    parts = [xyz_sorted, order[..., None].astype(jnp.float32)]
+    if features is not None:
+        parts.append(jnp.take_along_axis(features, order[..., None], axis=1))
+    payload = jnp.concatenate(parts, axis=-1)          # (B, N, 4+C)
+    payload = jnp.pad(payload, ((0, 0), (0, 0), (0, 128 - payload.shape[-1])))
+
+    def scatter_one(rows, pay):
+        tab = jnp.zeros(((n_cells + 1) * cap + 1, 128), jnp.float32)
+        tab = tab.at[:, 3].set(float(N))
+        return tab.at[rows].set(pay, mode='drop')[:-1]
+
+    return jax.vmap(scatter_one)(row, payload)
