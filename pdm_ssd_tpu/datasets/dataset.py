@@ -99,7 +99,20 @@ class DatasetTemplate(object):
         ret = {}
         for key, val in data_dict.items():
             if key == 'points':
-                ret['points'] = np.stack(val, axis=0).astype(np.float32)
+                lens = {len(v) for v in val}
+                if len(lens) == 1:
+                    ret['points'] = np.stack(val, axis=0).astype(np.float32)
+                else:
+                    # no fixed-N sampler in the pipeline (voxel models):
+                    # pad to the batch max with a validity mask
+                    N = max(lens)
+                    pts = np.zeros((batch_size, N, val[0].shape[-1]), np.float32)
+                    pmask = np.zeros((batch_size, N), bool)
+                    for i, v in enumerate(val):
+                        pts[i, :len(v)] = v
+                        pmask[i, :len(v)] = True
+                    ret['points'] = pts
+                    ret['points_mask'] = pmask
             elif key == 'gt_boxes':
                 M = self.max_gt_boxes
                 code = max([v.shape[1] if len(v) else 8 for v in val])

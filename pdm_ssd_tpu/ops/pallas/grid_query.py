@@ -141,7 +141,7 @@ def grid_ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # (B, M) cell ids
             pl.BlockSpec(memory_space=pltpu.SMEM),            # (B, 3M) centers
-            pl.BlockSpec(memory_space=pltpu.ANY),             # packed table
+            pl.BlockSpec(memory_space=pl.ANY),             # packed table
         ],
         out_specs=pl.BlockSpec((1, BM, nsample), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -282,7 +282,7 @@ def grid_query_group_pallas(radius: float, nsample: int, xyz: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, BM * nsample, 128), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),

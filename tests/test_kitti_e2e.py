@@ -160,3 +160,48 @@ def test_full_pipeline(mini_kitti):
         class_names, logger=None, result_dir=None)
     assert 'Car_3d/moderate_R40' in ret      # AP computed (untrained -> ~0)
     assert 'recall/rcnn_0.3' in ret
+
+
+def test_voxel_pipeline_pointpillar(mini_kitti):
+    """Voxel-path e2e: native C++ voxelizer -> padded voxel collate ->
+    PillarVFE/scatter/anchor-head train step + predict."""
+    from pdm_ssd_tpu.datasets import build_dataloader
+    from pdm_ssd_tpu.runtime import trainer
+    from pdm_ssd_tpu.models import build_network
+    from test_detector3d_zoo import pointpillar_cfg
+    import jax
+
+    from pdm_ssd_tpu.datasets.kitti.kitti_dataset import create_kitti_infos
+    class_names = ['Car', 'Pedestrian', 'Cyclist']
+    ds_cfg = dataset_cfg(mini_kitti)
+    if not (mini_kitti / 'kitti_infos_train.pkl').exists():
+        create_kitti_infos(ds_cfg, class_names, mini_kitti, mini_kitti, workers=1)
+    ds_cfg.POINT_CLOUD_RANGE = [0, -16, -3, 32, 16, 1]
+    ds_cfg.DATA_PROCESSOR = [
+        CfgNode({'NAME': 'mask_points_and_boxes_outside_range',
+                 'REMOVE_OUTSIDE_BOXES': True}),
+        CfgNode({'NAME': 'transform_points_to_voxels',
+                 'VOXEL_SIZE': [1.0, 1.0, 4.0], 'MAX_POINTS_PER_VOXEL': 8,
+                 'MAX_NUMBER_OF_VOXELS': {'train': 256, 'test': 256}}),
+    ]
+    train_set, train_loader, _ = build_dataloader(
+        dataset_cfg=ds_cfg, class_names=class_names, batch_size=2,
+        root_path=mini_kitti, workers=0, training=True)
+    batch = next(iter(train_loader))
+    assert batch['voxels'].shape[1] == 256          # static cap
+    assert batch['voxel_mask'].any()
+
+    model = build_network(pointpillar_cfg(), num_class=3,
+                          dataset_cfg=ds_cfg, class_names=class_names)
+    opt_cfg = CfgNode({'OPTIMIZER': 'adam_onecycle', 'LR': 0.003,
+                       'WEIGHT_DECAY': 0.01, 'GRAD_NORM_CLIP': 10})
+    state, tx, _ = trainer.create_train_state(
+        model, trainer._filter_device_batch(batch), opt_cfg, 3, 1)
+    step = trainer.make_train_step(model, tx)
+    state, metrics = step(state, trainer._filter_device_batch(batch))
+    import numpy as _np
+    assert _np.isfinite(float(jax.device_get(metrics['loss'])))
+    predict = trainer.make_predict_step(model)
+    dets = jax.device_get(predict(state.params, state.batch_stats,
+                                  trainer._filter_device_batch(batch)))
+    assert dets['pred_boxes'].shape[0] == 2
