@@ -17,7 +17,8 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PointRCNN':
         return PointRCNN(model_cfg=model_cfg, num_class=num_class,
                          dataset_cfg=dataset_cfg)
-    if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'Detector3D'):
+    if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
+                'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,
                           dataset_cfg=dataset_cfg, class_names=class_names)
     raise KeyError(f'unknown detector: {name}')

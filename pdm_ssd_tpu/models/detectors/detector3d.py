@@ -27,6 +27,7 @@ from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import Conv2DCollapse, HeightCompression, PointPillarScatter
 from ..backbones_3d.vfe import DynamicPillarVFE, MeanVFE, PillarVFE
 from ..backbones_3d.voxel_backbone import DenseVoxelBackBone8x
+from ..backbones_3d.grid_point_backbone import GridPointBackbone
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
 
@@ -79,11 +80,17 @@ class Detector3D(nn.Module):
             vfe_out = num_pf
 
         if cfg.get('BACKBONE_3D') is not None:
-            bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
-                                        input_channels=vfe_out,
-                                        grid_size=(gw, gh, gd))
+            if cfg.BACKBONE_3D.get('NAME') == 'GridPointBackbone':
+                bb3d = GridPointBackbone(model_cfg=cfg.BACKBONE_3D,
+                                         input_channels=num_pf,
+                                         pc_range=pc_range)
+                vfe_out = bb3d.num_point_features
+            else:
+                bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
+                                            input_channels=vfe_out,
+                                            grid_size=(gw, gh, gd))
+                vfe_out = bb3d.num_bev_features
             modules.append(bb3d)
-            vfe_out = bb3d.num_bev_features
 
         if cfg.get('MAP_TO_BEV') is not None:
             name = cfg.MAP_TO_BEV.NAME
