@@ -157,3 +157,46 @@ def restore_checkpoint(ckpt_manager, state, step=None):
         step=jnp.asarray(restored['step']), params=restored['params'],
         batch_stats=restored['batch_stats'], opt_state=restored['opt_state'])
     return state, int(step)
+
+
+def load_pretrained(state, ckpt_dir, step=None, logger=None):
+    """Partial, shape-tolerant parameter overlay (distinct from resume):
+    the analog of `--pretrained_model` + `_load_state_dict`
+    (`detector3d_template.py:330-384`) — copies every checkpoint leaf whose
+    path exists in the current model with a matching shape, keeps the rest
+    initialized, and does NOT restore optimizer state or step."""
+    import orbax.checkpoint as ocp
+    mgr = make_checkpoint_manager(str(ckpt_dir))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f'no checkpoint under {ckpt_dir}')
+    restored = mgr.restore(step)
+    src_params = restored.get('params', {})
+    src_stats = restored.get('batch_stats', {})
+
+    def overlay(dst, src, prefix=''):
+        loaded, skipped = 0, 0
+        flat_dst = jax.tree_util.tree_flatten_with_path(dst)[0]
+        import jax.tree_util as jtu
+        src_flat = {jtu.keystr(p): v for p, v in
+                    jtu.tree_flatten_with_path(src)[0]}
+        out = {}
+        new_leaves = {}
+        for path, leaf in flat_dst:
+            key = jtu.keystr(path)
+            cand = src_flat.get(key)
+            if cand is not None and np.asarray(cand).shape == np.asarray(leaf).shape:
+                new_leaves[key] = jnp.asarray(cand, leaf.dtype)
+                loaded += 1
+            else:
+                new_leaves[key] = leaf
+                skipped += 1
+        treedef = jax.tree_util.tree_structure(dst)
+        ordered = [new_leaves[jtu.keystr(p)] for p, _ in flat_dst]
+        if logger:
+            logger.info(f'pretrained{prefix}: loaded {loaded} leaves, kept {skipped}')
+        return jax.tree_util.tree_unflatten(treedef, ordered)
+
+    params = overlay(jax.device_get(state.params), src_params, '/params')
+    stats = overlay(jax.device_get(state.batch_stats), src_stats, '/batch_stats')
+    return state.replace(params=params, batch_stats=stats)

@@ -31,6 +31,8 @@ def parse_config():
     parser.add_argument('--workers', type=int, default=4)
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--pretrained_model', type=str, default=None,
+                        help='checkpoint dir to overlay params from (no resume)')
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
     parser.add_argument('--max_ckpt_save_num', type=int, default=5)
     parser.add_argument('--merge_all_iters_to_one_epoch', action='store_true', default=False)
@@ -84,6 +86,9 @@ def main():
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
         total_iters_each_epoch=len(train_loader), total_epochs=epochs)
 
+    if args.pretrained_model:
+        state = trainer.load_pretrained(state, Path(args.pretrained_model).resolve(),
+                                        logger=logger)
     ckpt_manager = trainer.make_checkpoint_manager(
         str(ckpt_dir), max_to_keep=args.max_ckpt_save_num)
     state, start_epoch = trainer.restore_checkpoint(ckpt_manager, state)
