@@ -65,15 +65,18 @@ def main():
     pts = jax.device_put(batch['points'])
     # warmup + compile
     out = predict(pts)
-    jax.block_until_ready(out)
+    jax.device_get(out['pred_scores'])
 
+    # median of 3 rounds: the tunnel to the chip has visible run-to-run
+    # variance; a single round under- or over-reports by up to ~30%
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(pts)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = batch_size * iters / dt
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [predict(pts) for _ in range(iters)]
+        jax.device_get(outs[-1]['pred_scores'])
+        rates.append(batch_size * iters / (time.perf_counter() - t0))
+    fps = sorted(rates)[1]
 
     print(json.dumps({
         'metric': 'kitti_inference_frames_per_sec_per_chip',
