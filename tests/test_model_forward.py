@@ -168,3 +168,28 @@ def test_grads_flow(model_and_vars):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total > 0
+
+
+def test_aux_head_variant(rng):
+    """PDM-as-auxiliary-head (BASELINE config 3): PointHeadSimple supervises
+    training and contributes loss; inference output is unaffected by it."""
+    cfg = tiny_model_cfg()
+    cfg['POINT_HEAD'] = CfgNode({
+        'NAME': 'PointHeadSimple',
+        'CLS_FC': [16],
+        'CLASS_AGNOSTIC': True,
+        'TARGET_CONFIG': {'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2]},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {'point_cls_weight': 1.0}},
+    })
+    cfg.POST_PROCESSING['SCORE_CALIBRATION'] = False
+    cfg.POST_PROCESSING['USE_VOTE_BOXES'] = False
+    model = build_network(cfg, num_class=3, dataset_cfg=dataset_cfg())
+    batch = make_batch(np.random.RandomState(0))
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'aux_point_loss_cls' in tb and float(tb['aux_point_loss_cls']) > 0
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
