@@ -174,7 +174,12 @@ class AnchorHeadSingle(nn.Module):
             # force: best anchor per gt is positive
             best_anchor = jnp.argmax(iou, axis=0)                # (M,)
             gt_has_match = jnp.max(iou, axis=0) > 0
-            force = jnp.zeros((A,), bool).at[best_anchor].set(gt_has_match & gmask)
+            # max-combining scatter: a False write from a padded GT (argmax=0
+            # on an all -1 row) must not clobber a True force-match landing on
+            # the same anchor, and duplicate best anchors resolve to True if
+            # any contributing GT matches.
+            force = jnp.zeros((A,), jnp.int32).at[best_anchor].max(
+                (gt_has_match & gmask).astype(jnp.int32)) > 0
             pos = (best_gt_iou >= matched_t) | force
             neg = (best_gt_iou < unmatched_t) & ~pos
             labels = jnp.where(pos, gt_cls[best_gt], jnp.where(neg, 0, -1))

@@ -22,6 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import box_ops, iou3d, losses
 from ...ops.coders import ResidualCoder
@@ -62,6 +63,13 @@ class RoIHeadTemplate(nn.Module):
     # ---------- targets ----------
 
     def assign_targets(self, batch: dict, rng_key=None) -> dict:
+        """ProposalTargetLayer semantics (`target_assigner/proposal_target_layer
+        .py:8-228`), fixed-shape: subsample exactly ROI_PER_IMAGE rois with
+        min(round(FG_RATIO*ROI_PER_IMAGE), n_fg) foregrounds, backgrounds
+        split hard/easy by HARD_BG_RATIO, quota shortfalls filled by
+        wraparound duplication (the reference's sampling-with-replacement).
+        Randomness comes from the per-step 'targets' rng stream threaded by
+        the train step."""
         cfg = as_cfg(self.model_cfg).TARGET_CONFIG
         rois = batch['rois']                   # (B, R, 7)
         roi_mask = batch['roi_mask']
@@ -69,31 +77,71 @@ class RoIHeadTemplate(nn.Module):
         gt_mask = batch['gt_mask']
         R = rois.shape[1]
         if rng_key is None:
-            rng_key = jax.random.PRNGKey(0)
+            rng_key = self.make_rng('targets') if self.has_rng('targets') \
+                else jax.random.PRNGKey(0)
         rand = jax.random.uniform(rng_key, roi_mask.shape)
 
-        fg_thresh = cfg.get('CLS_FG_THRESH', 0.6)
-        bg_thresh = cfg.get('CLS_BG_THRESH', 0.45)
+        roi_per_image = int(cfg.get('ROI_PER_IMAGE', R))
+        fg_ratio = cfg.get('FG_RATIO', 0.5)
+        hard_bg_ratio = cfg.get('HARD_BG_RATIO', 0.8)
+        cls_fg = cfg.get('CLS_FG_THRESH', 0.6)
+        cls_bg = cfg.get('CLS_BG_THRESH', 0.45)
         reg_fg = cfg.get('REG_FG_THRESH', 0.55)
-        hard_bg = cfg.get('CLS_BG_THRESH_LO', 0.1)
+        bg_lo = cfg.get('CLS_BG_THRESH_LO', 0.1)
+        fg_thresh = min(reg_fg, cls_fg)
+        score_type = cfg.get('CLS_SCORE_TYPE', 'cls')
+
+        def rank_in_group(member, rnd):
+            """0-based rank of each member within its group, random order;
+            non-members rank after all members."""
+            key = jnp.where(member, rnd, 2.0 + rnd)
+            return jnp.argsort(jnp.argsort(key))
 
         def single(roi, rmask, gts, gmask, rnd):
             iou = iou3d.boxes_iou3d(roi, gts[:, :7])           # (R, M)
             iou = jnp.where(gmask[None, :] & rmask[:, None], iou, -1.0)
-            max_iou = jnp.max(iou, axis=1)
+            max_iou = jnp.maximum(jnp.max(iou, axis=1), 0.0)
+            max_iou = jnp.where(rmask, max_iou, -1.0)
             gt_idx = jnp.argmax(iou, axis=1)
-            fg = max_iou >= reg_fg
-            # stratified priority: fg first, then hard bg, then easy bg
-            prio = jnp.where(fg, 2.0 + rnd,
-                             jnp.where(max_iou >= hard_bg, 1.0 + rnd, rnd))
-            prio = jnp.where(rmask, prio, -1.0)
-            order = jnp.argsort(-prio)                          # all R kept (R == ROI_PER_IMAGE)
-            gt_of_roi = gts[gt_idx]                             # (R, 8)
-            cls_label = jnp.where(max_iou >= fg_thresh, 1.0,
-                                  jnp.where(max_iou < bg_thresh, 0.0, -1.0))
-            return order, max_iou, gt_of_roi, cls_label, fg
 
-        order, max_iou, gt_of_roi, cls_labels, fg = jax.vmap(single)(
+            fg = (max_iou >= fg_thresh) & rmask
+            hard = (max_iou < reg_fg) & (max_iou >= bg_lo) & rmask
+            easy = (max_iou < bg_lo) & (max_iou >= 0) & rmask
+            n_fg = jnp.sum(fg)
+            n_hard = jnp.sum(hard)
+            n_easy = jnp.sum(easy)
+
+            fg_quota = jnp.minimum(int(np.round(fg_ratio * roi_per_image)), n_fg)
+            bg_quota = roi_per_image - fg_quota
+            # reference sample_bg_inds: hard share when both pools non-empty,
+            # otherwise whichever pool exists takes the whole bg quota
+            hard_want = jnp.where(
+                n_easy > 0, (bg_quota * hard_bg_ratio).astype(jnp.int32), bg_quota)
+            hard_quota = jnp.minimum(jnp.where(n_hard > 0, hard_want, 0), n_hard)
+            easy_quota = jnp.minimum(bg_quota - hard_quota, n_easy)
+
+            sel = (fg & (rank_in_group(fg, rnd) < fg_quota)) \
+                | (hard & (rank_in_group(hard, rnd) < hard_quota)) \
+                | (easy & (rank_in_group(easy, rnd) < easy_quota))
+            n_sel = jnp.sum(sel)
+            # selected first (random order within), then wraparound-duplicate
+            order = jnp.argsort(jnp.where(sel, rnd, 2.0 + rnd))
+            slots = jnp.arange(roi_per_image, dtype=jnp.int32) \
+                % jnp.maximum(n_sel, 1)
+            out_idx = order[slots]                              # (R_out,)
+            out_valid = jnp.take(sel, out_idx)
+
+            gt_of_roi = gts[gt_idx]                             # (R, 8)
+            if score_type == 'roi_iou':
+                interp = (max_iou - cls_bg) / jnp.maximum(cls_fg - cls_bg, 1e-6)
+                cls_label = jnp.clip(interp, 0.0, 1.0)
+            else:
+                cls_label = jnp.where(max_iou > cls_fg, 1.0,
+                                      jnp.where(max_iou < cls_bg, 0.0, -1.0))
+            return out_idx, out_valid, max_iou, gt_of_roi, cls_label, \
+                (max_iou >= reg_fg) & rmask
+
+        order, out_valid, max_iou, gt_of_roi, cls_labels, fg = jax.vmap(single)(
             rois, roi_mask, gt_boxes, gt_mask, rand)
 
         take = lambda t: jnp.take_along_axis(
@@ -103,7 +151,7 @@ class RoIHeadTemplate(nn.Module):
         max_iou = jnp.take_along_axis(max_iou, order, axis=1)
         cls_labels = jnp.take_along_axis(cls_labels, order, axis=1)
         fg = jnp.take_along_axis(fg, order, axis=1)
-        roi_mask = jnp.take_along_axis(batch['roi_mask'], order, axis=1)
+        roi_mask = out_valid
 
         # canonical-frame regression targets (roi frame, roi as anchor)
         local_gt = gt_of_roi[..., :7]
@@ -123,6 +171,12 @@ class RoIHeadTemplate(nn.Module):
 
         batch['rois'] = rois
         batch['roi_mask'] = roi_mask
+        if 'roi_scores' in batch:
+            batch['roi_scores'] = jnp.take_along_axis(
+                batch['roi_scores'], order, axis=1)
+        if 'roi_labels' in batch:
+            batch['roi_labels'] = jnp.take_along_axis(
+                batch['roi_labels'], order, axis=1)
         return {
             'rois': rois, 'roi_mask': roi_mask, 'gt_of_roi': gt_of_roi,
             'rcnn_cls_labels': cls_labels, 'rcnn_reg_targets': reg_targets,

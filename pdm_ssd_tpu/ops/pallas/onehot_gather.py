@@ -147,7 +147,36 @@ def gather_rows(src: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched row gather: src (B, N, C), idx (B, ...) -> (B, ..., C).
     Out-of-range indices return zeros. Dispatches to the transposed kernel for
     C < 128 (lane-padding economy). Integer sources roundtrip through f32
-    (exact below 2^24 thanks to the hi/lo-split matmul)."""
+    (exact below 2^24 thanks to the hi/lo-split matmul).
+
+    Differentiable: the VJP w.r.t. `src` is the one-hot scatter-add kernel
+    (`scatter_add_rows`) — the exact transpose of the gather matmul — so the
+    whole point pipeline trains on TPU without falling back to XLA's serial
+    scatter."""
+    return _gather_rows_vjp(src.shape[1])(src, idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_rows_vjp(n_rows: int):
+    @jax.custom_vjp
+    def g(src, idx):
+        return _gather_rows_impl(src, idx)
+
+    def fwd(src, idx):
+        return _gather_rows_impl(src, idx), idx
+
+    def bwd(idx, ct):
+        B = idx.shape[0]
+        flat_idx = idx.reshape(B, -1)
+        ct_flat = ct.reshape(B, flat_idx.shape[1], ct.shape[-1])
+        d_src = scatter_add_rows(ct_flat, flat_idx, n_rows).astype(ct.dtype)
+        return d_src, None
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def _gather_rows_impl(src: jax.Array, idx: jax.Array) -> jax.Array:
     B, N, C = src.shape
     batch_shape = idx.shape[1:]
     # the one-hot formulation keeps the whole (N, C) table VMEM-resident and
@@ -191,9 +220,7 @@ def _scatter_kernel(idx_ref, val_ref, out_ref, *, block_r: int):
     cell0 = ci * tc
     rows = jax.lax.broadcasted_iota(jnp.int32, (tc, block_r), 0) + cell0
     oh = (rows == idx[None, :]).astype(jnp.bfloat16)          # (TC, BR)
-    vals = val_ref[0].astype(jnp.bfloat16)                    # (BR, C)
-    out_ref[0] += jnp.dot(oh, vals, preferred_element_type=jnp.float32
-                          ).astype(out_ref.dtype)
+    out_ref[0] += _split_dot(oh, val_ref[0]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

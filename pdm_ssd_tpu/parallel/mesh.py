@@ -50,9 +50,34 @@ def replicate(tree, mesh: Mesh):
 
 def make_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     """Mesh whose data axis divides `batch_size` (eval batches may be smaller
-    than the device count; use the largest compatible device subset)."""
+    than the device count; use the largest compatible device subset).
+
+    Prefer `make_mesh()` + `pad_batch_to` — that keeps every chip busy
+    instead of idling the ones the batch doesn't divide into."""
     devices = jax.devices()
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
     return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def padded_batch_size(batch_size: int, mesh: Mesh) -> int:
+    """Smallest multiple of the mesh's data extent >= batch_size (the eval
+    sampler's padding rule, `datasets/__init__.py:31-51` in the reference)."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    return ((batch_size + n - 1) // n) * n
+
+
+def pad_batch_to(batch: dict, target_b: int) -> dict:
+    """Pad every per-sample array up to `target_b` along dim 0 by wrapping
+    around (repeating real samples — always numerically safe, unlike zero
+    frames). Callers slice model outputs back to the real batch size."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object and v.ndim >= 1 \
+                and v.shape[0] < target_b:
+            reps = int(np.ceil(target_b / v.shape[0]))
+            out[k] = np.concatenate([v] * reps, axis=0)[:target_b]
+        else:
+            out[k] = v
+    return out

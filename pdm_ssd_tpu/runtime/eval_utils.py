@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from ..ops import iou3d
-from ..parallel import make_mesh_for_batch, shard_batch
+from ..parallel import make_mesh, pad_batch_to, padded_batch_size, shard_batch
 from .trainer import make_predict_step, _filter_device_batch
 
 
@@ -48,15 +48,26 @@ def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
     infer_time = 0.0
     n_frames = 0
 
+    pad_b = None
     for i, batch in enumerate(dataloader):
+        real_b = batch['batch_size']
         if mesh is None:
-            mesh = make_mesh_for_batch(batch['batch_size'])
-        device_batch = shard_batch(_filter_device_batch(batch), mesh)
+            # full mesh + batch padding: every chip stays busy, and the final
+            # partial batch (drop_last=False) is padded up to the same static
+            # shape (wraparound samples, sliced off below) instead of crashing
+            # the NamedSharding or triggering a recompile.
+            mesh = make_mesh()
+            pad_b = padded_batch_size(real_b, mesh)
+        device_batch = _filter_device_batch(batch)
+        if real_b < pad_b:
+            device_batch = pad_batch_to(device_batch, pad_b)
+        device_batch = shard_batch(device_batch, mesh)
         t0 = time.perf_counter()
         dets = predict(params, batch_stats, device_batch)
         dets = jax.device_get(dets)
         infer_time += time.perf_counter() - t0
-        n_frames += batch['batch_size']
+        n_frames += real_b
+        dets = {k: v[:real_b] for k, v in dets.items()}
 
         counts, gt_num = _recall_counts(
             dets['pred_boxes'], dets['pred_mask'],

@@ -96,9 +96,11 @@ def build_optimizer_and_schedule(params, opt_cfg, total_iters_each_epoch, total_
             opt_cfg.LR, opt_cfg.get('DECAY_STEP_LIST', [35, 45]),
             opt_cfg.get('LR_DECAY', 0.1), opt_cfg.get('LR_CLIP', 1e-7),
             total_iters_each_epoch)
+        # decay is added to the raw gradient BEFORE the lr scaling inside sgd,
+        # so the applied update is -lr * (g + wd * p) (true decayed SGD).
         opt = optax.chain(
             optax.clip_by_global_norm(clip),
-            optax.sgd(learning_rate=lr_sched, momentum=opt_cfg.get('MOMENTUM', 0.9)),
-            optax.add_decayed_weights(wd, mask=_wd_mask))
+            optax.add_decayed_weights(wd, mask=_wd_mask),
+            optax.sgd(learning_rate=lr_sched, momentum=opt_cfg.get('MOMENTUM', 0.9)))
         return opt, lr_sched
     raise NotImplementedError(name)

@@ -31,10 +31,21 @@ class TrainState(struct.PyTreeNode):
 
 
 def _filter_device_batch(batch: dict) -> dict:
-    """Keep only the array entries the jitted step consumes."""
+    """Keep only the array entries the jitted step consumes.
+
+    Ragged raw points (padded to the per-batch max, signalled by
+    'points_mask') are dropped when the pipeline produced voxels: voxel
+    models never read them, and their ever-changing pad length would force
+    a full XLA recompile every iteration. Models that need raw points
+    alongside voxels (PV-RCNN keypoints) must run a fixed-N `sample_points`
+    step, which removes 'points_mask' and keeps the shape static."""
     keep = {'points', 'points_mask', 'gt_boxes', 'gt_mask',
             'voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask'}
-    return {k: v for k, v in batch.items() if k in keep}
+    out = {k: v for k, v in batch.items() if k in keep}
+    if 'voxels' in out and 'points_mask' in out:
+        out.pop('points', None)
+        out.pop('points_mask', None)
+    return out
 
 
 def create_train_state(model, batch, opt_cfg, total_iters_each_epoch, total_epochs,
@@ -50,12 +61,20 @@ def create_train_state(model, batch, opt_cfg, total_iters_each_epoch, total_epoc
     return state, tx, lr_sched
 
 
-def make_train_step(model, tx):
+def make_train_step(model, tx, seed: int = 0):
+    """The per-step 'targets' rng stream (ROI fg/bg subsampling) is folded
+    from the step counter so the stochastic target sampling differs every
+    iteration (the reference relies on fresh torch randomness per step)."""
+    base_key = jax.random.PRNGKey(seed)
+
     def train_step(state: TrainState, batch: dict):
+        step_key = jax.random.fold_in(base_key, state.step)
+
         def loss_fn(params):
             (loss, tb), mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 batch, training=True, mutable=['batch_stats'],
+                rngs={'targets': step_key},
                 method=model.forward_with_loss)
             return loss, (tb, mutated['batch_stats'])
 
