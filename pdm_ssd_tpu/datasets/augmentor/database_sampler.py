@@ -1,12 +1,15 @@
 """GT-database sampling ("copy-paste") augmentation (host-side numpy).
 
-Re-implementation of `DataBaseSampler`
-(`pcdet/datasets/augmentor/database_sampler.py`): per-class round-robin
-sampling with reshuffle (:130-147), difficulty/min-points filtering (:101-128),
-BEV-IoU collision rejection against existing + already-sampled boxes (:471-476),
-scene-point removal inside sampled boxes + object-point concatenation
-(:429-436). Rotated-IoU collision math is the numpy mirror in
-`pdm_ssd_tpu.utils.np_iou` (role of `iou3d_cpu.cpp`).
+Covers `DataBaseSampler` (`pcdet/datasets/augmentor/database_sampler.py`):
+per-class round-robin sampling with epoch reshuffle, difficulty / min-points
+filtering, BEV-IoU collision rejection against existing + already-placed
+boxes, road-plane height snapping (`:149-167` — pasted objects sit ON the
+road, an mAP-relevant detail), scene-point carving and object-point pasting.
+Rotated-IoU collision math is the numpy mirror in `pdm_ssd_tpu.utils.np_iou`
+(role of `iou3d_cpu.cpp`).
+
+Design: each class owns a `_RoundRobinPool` cursor over its db infos; the
+__call__ pipeline is select -> reject-by-collision -> snap-to-plane -> paste.
 """
 from __future__ import annotations
 
@@ -18,160 +21,165 @@ import numpy as np
 from ...utils import np_iou
 
 
-class DataBaseSampler(object):
+class _RoundRobinPool:
+    """Cycles through a list of db infos, reshuffling after each pass."""
+
+    def __init__(self, infos):
+        self.infos = infos
+        self.order = np.arange(len(infos))
+        self.cursor = len(infos)        # force an initial shuffle
+
+    def draw(self, k: int):
+        if not self.infos:
+            return []
+        if self.cursor >= len(self.infos):
+            self.order = np.random.permutation(len(self.infos))
+            self.cursor = 0
+        picks = self.order[self.cursor:self.cursor + k]
+        self.cursor += k
+        return [self.infos[i] for i in picks]
+
+
+def _in_box_mask(points, boxes):
+    """(N,) True where a point lies in any rotated box (BEV rotation test +
+    z-extent)."""
+    if len(boxes) == 0 or len(points) == 0:
+        return np.zeros(len(points), bool)
+    rel = points[:, None, :3] - boxes[None, :, :3]
+    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    u = rel[..., 0] * c + rel[..., 1] * s
+    v = -rel[..., 0] * s + rel[..., 1] * c
+    inside = ((np.abs(u) < boxes[:, 3] / 2) & (np.abs(v) < boxes[:, 4] / 2)
+              & (np.abs(rel[..., 2]) <= boxes[:, 5] / 2))
+    return inside.any(axis=1)
+
+
+class DataBaseSampler:
     def __init__(self, root_path, sampler_cfg, class_names, logger=None):
         self.root_path = Path(root_path)
         self.class_names = class_names
         self.sampler_cfg = sampler_cfg
         self.logger = logger
-
-        self.db_infos = {}
-        for class_name in class_names:
-            self.db_infos[class_name] = []
-        for db_info_path in sampler_cfg.DB_INFO_PATH:
-            db_info_path = self.root_path.resolve() / db_info_path
-            if not db_info_path.exists():
-                if logger is not None:
-                    logger.warning(f'DB info not found: {db_info_path}')
-                continue
-            with open(str(db_info_path), 'rb') as f:
-                infos = pickle.load(f)
-                for cur_class in class_names:
-                    if cur_class in infos:
-                        self.db_infos[cur_class].extend(infos[cur_class])
-
-        for func_name, val in sampler_cfg.get('PREPARE', {}).items():
-            self.db_infos = getattr(self, func_name)(self.db_infos, val)
-
-        self.sample_groups = {}
-        self.sample_class_num = {}
+        self.use_road_plane = sampler_cfg.get('USE_ROAD_PLANE', False)
         self.limit_whole_scene = sampler_cfg.get('LIMIT_WHOLE_SCENE', False)
-        for x in sampler_cfg.SAMPLE_GROUPS:
-            class_name, sample_num = x.split(':')
-            if class_name not in class_names:
+
+        by_class = {name: [] for name in class_names}
+        for rel in sampler_cfg.DB_INFO_PATH:
+            path = self.root_path.resolve() / rel
+            if not path.exists():
+                if logger is not None:
+                    logger.warning(f'DB info not found: {path}')
                 continue
-            self.sample_class_num[class_name] = sample_num
-            self.sample_groups[class_name] = {
-                'sample_num': sample_num,
-                'pointer': len(self.db_infos[class_name]),
-                'indices': np.arange(len(self.db_infos[class_name])),
-            }
+            loaded = pickle.loads(path.read_bytes())
+            for name in class_names:
+                by_class[name] += loaded.get(name, [])
 
-    def filter_by_difficulty(self, db_infos, removed_difficulty):
-        new_db_infos = {}
-        for key, dinfos in db_infos.items():
-            new_db_infos[key] = [info for info in dinfos
-                                 if info['difficulty'] not in removed_difficulty]
-        return new_db_infos
+        for step, arg in sampler_cfg.get('PREPARE', {}).items():
+            by_class = getattr(self, step)(by_class, arg)
 
-    def filter_by_min_points(self, db_infos, min_gt_points_list):
-        for name_num in min_gt_points_list:
-            name, min_num = name_num.split(':')
-            min_num = int(min_num)
-            if min_num > 0 and name in db_infos:
-                db_infos[name] = [info for info in db_infos[name]
-                                  if info['num_points_in_gt'] >= min_num]
-        return db_infos
+        # 'Car:15' style group specs -> per-class pools + quotas
+        self.quota = {}
+        self.pools = {}
+        for spec in sampler_cfg.SAMPLE_GROUPS:
+            name, num = spec.split(':')
+            if name in class_names:
+                self.quota[name] = int(num)
+                self.pools[name] = _RoundRobinPool(by_class[name])
 
-    def sample_with_fixed_number(self, class_name, sample_group):
-        """Round-robin with reshuffle (`database_sampler.py:130-147`)."""
-        sample_num = int(sample_group['sample_num'])
-        pointer, indices = sample_group['pointer'], sample_group['indices']
-        total = len(self.db_infos[class_name])
-        if total == 0:
-            return []
-        if pointer >= total:
-            indices = np.random.permutation(total)
-            pointer = 0
-        sampled = [self.db_infos[class_name][idx]
-                   for idx in indices[pointer:pointer + sample_num]]
-        sample_group['pointer'] = pointer + sample_num
-        sample_group['indices'] = indices
-        return sampled
+    # ---- PREPARE filters (names are config keys) ----
 
     @staticmethod
-    def remove_points_in_boxes(points, boxes):
-        """Drop scene points inside the sampled boxes (numpy rotation test)."""
-        if len(boxes) == 0 or len(points) == 0:
-            return points
-        shift = points[:, None, 0:3] - boxes[None, :, 0:3]
-        cosa = np.cos(-boxes[:, 6])
-        sina = np.sin(-boxes[:, 6])
-        lx = shift[..., 0] * cosa[None] - shift[..., 1] * sina[None]
-        ly = shift[..., 0] * sina[None] + shift[..., 1] * cosa[None]
-        inside = ((np.abs(shift[..., 2]) <= boxes[None, :, 5] / 2)
-                  & (np.abs(lx) < boxes[None, :, 3] / 2)
-                  & (np.abs(ly) < boxes[None, :, 4] / 2))
-        return points[~inside.any(axis=1)]
+    def filter_by_difficulty(by_class, removed):
+        return {name: [i for i in infos if i['difficulty'] not in removed]
+                for name, infos in by_class.items()}
 
-    def add_sampled_boxes_to_scene(self, data_dict, sampled_gt_boxes, total_valid_sampled_dict):
-        gt_boxes = data_dict['gt_boxes']
-        gt_names = data_dict['gt_names']
-        points = data_dict['points']
+    @staticmethod
+    def filter_by_min_points(by_class, specs):
+        floors = dict(s.split(':') for s in specs)
+        return {name: [i for i in infos
+                       if i['num_points_in_gt'] >= int(floors.get(name, 0))]
+                for name, infos in by_class.items()}
 
-        obj_points_list = []
-        kept_boxes, kept_names = [], []
-        for idx, info in enumerate(total_valid_sampled_dict):
-            file_path = self.root_path / info['path']
-            if not file_path.exists():
+    # ---- placement ----
+
+    def _snap_to_road_plane(self, boxes, data_dict):
+        """Moves each sampled box vertically so its bottom face touches the
+        road plane (reference `database_sampler.py:149-167`). The plane lives
+        in the rect camera frame: solve the plane for the camera height at
+        each box center, map back to lidar, shift. Returns the per-box z
+        shift applied (callers shift the object points by the same amount)."""
+        calib, plane = data_dict['calib'], data_dict['road_plane']
+        a, b, c, d = plane
+        center_cam = calib.lidar_to_rect(boxes[:, :3])
+        center_cam[:, 1] = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+        road_z = calib.rect_to_lidar(center_cam)[:, 2]
+        dz = (boxes[:, 2] - boxes[:, 5] / 2) - road_z   # bottom face -> plane
+        boxes[:, 2] -= dz
+        return dz
+
+    def _paste(self, data_dict, boxes, infos, dz):
+        """Carve scene points inside the new boxes, read the stored object
+        crops (box-centered), place them at their boxes."""
+        n_feat = self.sampler_cfg.NUM_POINT_FEATURES
+        crops, ok = [], []
+        for i, info in enumerate(infos):
+            path = self.root_path / info['path']
+            if not path.exists():
+                ok.append(False)
                 continue
-            obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
-                -1, self.sampler_cfg.NUM_POINT_FEATURES)
-            if obj_points.shape[0] != info['num_points_in_gt']:
-                obj_points = obj_points.reshape(-1, self.sampler_cfg.NUM_POINT_FEATURES)
-            obj_points = obj_points.copy()
-            obj_points[:, :3] += info['box3d_lidar'][:3].astype(np.float32)
-            obj_points_list.append(obj_points)
-            kept_boxes.append(sampled_gt_boxes[idx])
-            kept_names.append(info['name'])
-
-        if len(obj_points_list) == 0:
+            pts = np.fromfile(str(path), dtype=np.float32).reshape(-1, n_feat).copy()
+            pts[:, :3] += boxes[i, :3]
+            pts[:, 2] -= dz[i]
+            crops.append(pts)
+            ok.append(True)
+        if not crops:
             return data_dict
-        obj_points = np.concatenate(obj_points_list, axis=0)
-        sampled_gt_boxes = np.stack(kept_boxes, axis=0)
-        sampled_gt_names = np.array(kept_names)
+        ok = np.array(ok, bool)
+        boxes = boxes[ok]
+        names = np.array([i['name'] for i, k in zip(infos, ok) if k])
 
-        points = self.remove_points_in_boxes(points, sampled_gt_boxes)
-        data_dict['points'] = np.concatenate([obj_points[:, :points.shape[1]], points], axis=0)
-        data_dict['gt_boxes'] = np.concatenate([gt_boxes, sampled_gt_boxes[:, :gt_boxes.shape[1]]], axis=0)
-        data_dict['gt_names'] = np.concatenate([gt_names, sampled_gt_names], axis=0)
+        scene = data_dict['points']
+        scene = scene[~_in_box_mask(scene, boxes)]
+        obj_pts = np.concatenate(crops, axis=0)[:, :scene.shape[1]]
+        data_dict['points'] = np.concatenate([obj_pts, scene], axis=0)
+        data_dict['gt_boxes'] = np.concatenate(
+            [data_dict['gt_boxes'], boxes[:, :data_dict['gt_boxes'].shape[1]]])
+        data_dict['gt_names'] = np.concatenate([data_dict['gt_names'], names])
         return data_dict
 
     def __call__(self, data_dict):
-        """Sample objects per class, reject BEV-IoU collisions, paste into scene
-        (`database_sampler.py:445-502`)."""
-        gt_boxes = data_dict['gt_boxes']
-        gt_names = data_dict['gt_names'].astype(str)
-        existed_boxes = gt_boxes
-        total_valid_sampled_dict = []
+        scene_boxes = data_dict['gt_boxes']
+        scene_names = data_dict['gt_names'].astype(str)
+        placed = scene_boxes[:, :7].astype(np.float32)
+        accepted_infos = []
 
-        for class_name, sample_group in self.sample_groups.items():
+        for name, pool in self.pools.items():
+            want = self.quota[name]
             if self.limit_whole_scene:
-                num_gt = np.sum(class_name == gt_names)
-                sample_group['sample_num'] = str(
-                    max(int(self.sample_class_num[class_name]) - num_gt, 0))
-            if int(sample_group['sample_num']) > 0:
-                sampled_dict = self.sample_with_fixed_number(class_name, sample_group)
-                if len(sampled_dict) == 0:
-                    continue
-                sampled_boxes = np.stack(
-                    [x['box3d_lidar'] for x in sampled_dict], axis=0).astype(np.float32)
+                want = max(want - int((scene_names == name).sum()), 0)
+            if want <= 0:
+                continue
+            cand_infos = pool.draw(want)
+            if not cand_infos:
+                continue
+            cand = np.stack([i['box3d_lidar'] for i in cand_infos]
+                            ).astype(np.float32)[:, :7]
+            # reject any candidate overlapping the scene, earlier-accepted
+            # boxes, or another candidate (pairwise, both orders)
+            vs_placed = np_iou.boxes_bev_iou_cpu(cand, placed) \
+                if len(placed) else np.zeros((len(cand), 1), np.float32)
+            vs_self = np_iou.boxes_bev_iou_cpu(cand, cand)
+            np.fill_diagonal(vs_self, 0.0)
+            keep = (vs_placed.max(axis=1) == 0) & (vs_self.max(axis=1) == 0)
+            placed = np.concatenate([placed, cand[keep]])
+            accepted_infos += [i for i, k in zip(cand_infos, keep) if k]
 
-                iou1 = np_iou.boxes_bev_iou_cpu(sampled_boxes[:, 0:7], existed_boxes[:, 0:7]) \
-                    if len(existed_boxes) else np.zeros((len(sampled_boxes), 0), np.float32)
-                iou2 = np_iou.boxes_bev_iou_cpu(sampled_boxes[:, 0:7], sampled_boxes[:, 0:7])
-                iou2[range(len(sampled_boxes)), range(len(sampled_boxes))] = 0
-                iou1 = iou1 if iou1.shape[1] > 0 else iou2
-                valid_mask = ((iou1.max(axis=1) + iou2.max(axis=1)) == 0).nonzero()[0]
-                valid_sampled_dict = [sampled_dict[x] for x in valid_mask]
-                valid_sampled_boxes = sampled_boxes[valid_mask]
-
-                existed_boxes = np.concatenate(
-                    (existed_boxes, valid_sampled_boxes[:, :existed_boxes.shape[1]]), axis=0)
-                total_valid_sampled_dict.extend(valid_sampled_dict)
-
-        sampled_gt_boxes = existed_boxes[gt_boxes.shape[0]:, :]
-        if total_valid_sampled_dict.__len__() > 0:
-            data_dict = self.add_sampled_boxes_to_scene(
-                data_dict, sampled_gt_boxes, total_valid_sampled_dict)
+        new_boxes = placed[len(scene_boxes):]
+        if len(new_boxes):
+            if self.use_road_plane and data_dict.get('road_plane') is not None:
+                dz = self._snap_to_road_plane(new_boxes, data_dict)
+            else:
+                dz = np.zeros(len(new_boxes), np.float32)
+            data_dict = self._paste(data_dict, new_boxes, accepted_infos, dz)
+        data_dict.pop('road_plane', None)
         return data_dict

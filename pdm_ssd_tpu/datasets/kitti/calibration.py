@@ -1,89 +1,117 @@
-"""KITTI calibration parsing and coordinate transforms (host-side numpy).
+"""KITTI calibration: precomposed homogeneous transforms.
 
-Functional parity with `pcdet/utils/calibration_kitti.py`: P2/R0/V2C matrices,
-lidar<->rect transforms, rect->image projection, 3D corners -> image boxes.
+Covers the role of `pcdet/utils/calibration_kitti.py` (P2/R0/V2C, lidar<->rect,
+rect->image) with a different design: the calib file is parsed by key (not by
+line position), the rectified-camera<->lidar mapping is precomposed once into
+a pair of 4x4 matrices, and every transform is one `_apply` of those matrices.
 """
 from __future__ import annotations
 
 import numpy as np
 
 
-def get_calib_from_file(calib_file):
-    with open(calib_file) as f:
-        lines = f.readlines()
-    obj = lines[2].strip().split(' ')[1:]
-    P2 = np.array(obj, dtype=np.float32)
-    obj = lines[3].strip().split(' ')[1:]
-    P3 = np.array(obj, dtype=np.float32)
-    obj = lines[4].strip().split(' ')[1:]
-    R0 = np.array(obj, dtype=np.float32)
-    obj = lines[5].strip().split(' ')[1:]
-    Tr_velo_to_cam = np.array(obj, dtype=np.float32)
-    return {'P2': P2.reshape(3, 4), 'P3': P3.reshape(3, 4),
-            'R0': R0.reshape(3, 3), 'Tr_velo2cam': Tr_velo_to_cam.reshape(3, 4)}
+def _homogenize(mat: np.ndarray) -> np.ndarray:
+    """Embed a (3,3) rotation or (3,4) rigid transform into a 4x4."""
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :mat.shape[1]] = mat
+    return out
 
 
-class Calibration(object):
-    def __init__(self, calib_file):
-        calib = get_calib_from_file(calib_file) if isinstance(calib_file, str) else calib_file
-        self.P2 = calib['P2']           # (3, 4)
-        self.R0 = calib['R0']           # (3, 3)
-        self.V2C = calib['Tr_velo2cam']  # (3, 4)
+def _apply(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """(4,4) @ (N,3) -> (N,3), without materializing homogeneous columns."""
+    return pts @ T[:3, :3].T + T[:3, 3]
 
-        self.cu = self.P2[0, 2]
-        self.cv = self.P2[1, 2]
-        self.fu = self.P2[0, 0]
-        self.fv = self.P2[1, 1]
-        self.tx = self.P2[0, 3] / (-self.fu)
-        self.ty = self.P2[1, 3] / (-self.fv)
 
-    @staticmethod
-    def cart_to_hom(pts):
-        return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))
+def read_calib_file(path) -> dict:
+    """Key->matrix dict from a KITTI calib txt ('KEY: v v v ...' lines)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ':' not in line:
+                continue
+            key, vals = line.split(':', 1)
+            try:
+                out[key.strip()] = np.array(vals.split(), dtype=np.float32)
+            except ValueError:
+                continue
+    return out
 
-    def rect_to_lidar(self, pts_rect):
-        pts_rect_hom = self.cart_to_hom(pts_rect)  # (N, 4)
-        R0_ext = np.hstack((self.R0, np.zeros((3, 1), dtype=np.float32)))
-        R0_ext = np.vstack((R0_ext, np.zeros((1, 4), dtype=np.float32)))
-        R0_ext[3, 3] = 1
-        V2C_ext = np.vstack((self.V2C, np.zeros((1, 4), dtype=np.float32)))
-        V2C_ext[3, 3] = 1
-        pts_lidar = np.dot(pts_rect_hom, np.linalg.inv(np.dot(R0_ext, V2C_ext).T))
-        return pts_lidar[:, 0:3]
 
-    def lidar_to_rect(self, pts_lidar):
-        pts_lidar_hom = self.cart_to_hom(pts_lidar)
-        pts_rect = np.dot(pts_lidar_hom, np.dot(self.V2C.T, self.R0.T))
-        return pts_rect
+class Calibration:
+    """Accepts a calib-file path or a dict with P2 (3,4), R0 (3,3) and
+    Tr_velo2cam (3,4) entries."""
 
-    def rect_to_img(self, pts_rect):
-        pts_rect_hom = self.cart_to_hom(pts_rect)
-        pts_2d_hom = np.dot(pts_rect_hom, self.P2.T)
-        pts_img = (pts_2d_hom[:, 0:2].T / pts_rect_hom[:, 2]).T
-        pts_rect_depth = pts_2d_hom[:, 2] - self.P2.T[3, 2]
-        return pts_img, pts_rect_depth
+    def __init__(self, src):
+        if isinstance(src, (str,)) or hasattr(src, 'read_text'):
+            raw = read_calib_file(src)
+            mats = {'P2': raw['P2'].reshape(3, 4),
+                    'R0': raw['R0_rect'].reshape(3, 3),
+                    'Tr_velo2cam': raw['Tr_velo_to_cam'].reshape(3, 4)}
+        else:
+            mats = src
+        self.P2 = np.asarray(mats['P2'], np.float32)
+        self.R0 = np.asarray(mats['R0'], np.float32)
+        self.V2C = np.asarray(mats['Tr_velo2cam'], np.float32)
 
-    def lidar_to_img(self, pts_lidar):
-        pts_rect = self.lidar_to_rect(pts_lidar)
-        return self.rect_to_img(pts_rect)
+        # rect <- velo composed once; both directions cached
+        self._rect_from_velo = _homogenize(self.R0) @ _homogenize(self.V2C)
+        self._velo_from_rect = np.linalg.inv(self._rect_from_velo)
+
+    # intrinsics (P2 = K [I | t])
+    @property
+    def fu(self):
+        return self.P2[0, 0]
+
+    @property
+    def fv(self):
+        return self.P2[1, 1]
+
+    @property
+    def cu(self):
+        return self.P2[0, 2]
+
+    @property
+    def cv(self):
+        return self.P2[1, 2]
+
+    @property
+    def tx(self):
+        return -self.P2[0, 3] / self.P2[0, 0]
+
+    @property
+    def ty(self):
+        return -self.P2[1, 3] / self.P2[1, 1]
+
+    # ---- frame transforms ----
+
+    def lidar_to_rect(self, pts_lidar: np.ndarray) -> np.ndarray:
+        return _apply(self._rect_from_velo, np.asarray(pts_lidar, np.float32))
+
+    def rect_to_lidar(self, pts_rect: np.ndarray) -> np.ndarray:
+        return _apply(self._velo_from_rect, np.asarray(pts_rect, np.float32))
+
+    # ---- projections ----
+
+    def rect_to_img(self, pts_rect: np.ndarray):
+        """(N,3) rect -> ((N,2) pixels, (N,) depth in the P2 camera)."""
+        uvw = pts_rect @ self.P2[:, :3].T + self.P2[:, 3]
+        pix = uvw[:, :2] / uvw[:, 2:3]
+        depth = uvw[:, 2] - self.P2[2, 3]
+        return pix, depth
+
+    def lidar_to_img(self, pts_lidar: np.ndarray):
+        return self.rect_to_img(self.lidar_to_rect(pts_lidar))
 
     def img_to_rect(self, u, v, depth_rect):
-        x = ((u - self.cu) * depth_rect) / self.fu + self.tx
-        y = ((v - self.cv) * depth_rect) / self.fv + self.ty
-        return np.concatenate(
-            (x.reshape(-1, 1), y.reshape(-1, 1), depth_rect.reshape(-1, 1)), axis=1)
+        """Pixel + rect depth -> (N,3) rect points (inverse pinhole with the
+        P2 baseline offsets)."""
+        x = (np.asarray(u) - self.cu) / self.fu * depth_rect + self.tx
+        y = (np.asarray(v) - self.cv) / self.fv * depth_rect + self.ty
+        return np.stack([x, y, np.asarray(depth_rect)], axis=-1).reshape(-1, 3)
 
-    def corners3d_to_img_boxes(self, corners3d):
-        """(N, 8, 3) rect corners -> (N, 4) image boxes + (N, 8, 2) corners."""
-        sample_num = corners3d.shape[0]
-        corners3d_hom = np.concatenate(
-            (corners3d, np.ones((sample_num, 8, 1))), axis=2)  # (N, 8, 4)
-        img_pts = np.matmul(corners3d_hom, self.P2.T)
-        x, y = img_pts[:, :, 0] / img_pts[:, :, 2], img_pts[:, :, 1] / img_pts[:, :, 2]
-        x1, y1 = np.min(x, axis=1), np.min(y, axis=1)
-        x2, y2 = np.max(x, axis=1), np.max(y, axis=1)
-        boxes = np.concatenate(
-            (x1.reshape(-1, 1), y1.reshape(-1, 1), x2.reshape(-1, 1), y2.reshape(-1, 1)),
-            axis=1)
-        boxes_corner = np.concatenate((x.reshape(-1, 8, 1), y.reshape(-1, 8, 1)), axis=2)
-        return boxes, boxes_corner
+    def corners3d_to_img_boxes(self, corners3d: np.ndarray):
+        """(N,8,3) rect corners -> ((N,4) image aabbs, (N,8,2) pixel corners)."""
+        uvw = np.einsum('nkj,ij->nki', corners3d, self.P2[:, :3]) + self.P2[:, 3]
+        pix = uvw[..., :2] / uvw[..., 2:3]                    # (N, 8, 2)
+        boxes = np.concatenate([pix.min(axis=1), pix.max(axis=1)], axis=1)
+        return boxes.astype(np.float32), pix

@@ -1,386 +1,357 @@
 """KITTI dataset: info-pkl driven loading, GT database creation, KITTI eval.
 
-Re-implementation of `pcdet/datasets/kitti/kitti_dataset.py` with the same
-info/dbinfo pickle formats (interchangeable with reference-generated pickles):
-`__getitem__` (:365-429), `get_infos` (:150-222),
-`create_groundtruth_database` (:224-274), `generate_prediction_dicts`
-(:276-351), `evaluation` (:353-363), `create_kitti_infos` (:431-484).
+Covers `pcdet/datasets/kitti/kitti_dataset.py` (same responsibilities, and the
+info / dbinfo pickle SCHEMA is kept interchangeable with reference-generated
+pickles) with a different construction: labels are parsed into columnar
+`LabelTable`s and the per-frame info annotations are assembled from whole
+columns; the GT database writer and the prediction->KITTI-anno converter are
+vectorized over objects. Frame info layout (the compatibility contract):
+
+    {'point_cloud': {'num_features', 'lidar_idx'},
+     'image': {'image_idx', 'image_shape'},
+     'calib': {'P2' 4x4, 'R0_rect' 4x4, 'Tr_velo_to_cam' 4x4},
+     'annos': {name, truncated, occluded, alpha, bbox, dimensions(lhw),
+               location, rotation_y, score, difficulty, index,
+               gt_boxes_lidar, num_points_in_gt}}
 """
 from __future__ import annotations
 
 import copy
 import pickle
+import struct
 from pathlib import Path
 
 import numpy as np
 
 from ..dataset import DatasetTemplate
 from . import kitti_utils
-from .calibration import Calibration
-from .object3d import get_objects_from_label
+from .calibration import Calibration, _homogenize
+from .object3d import LabelTable
+
+
+def _camera_annos_from_table(table: LabelTable) -> dict:
+    """Columnar label table -> the reference 'annos' dict (camera frame).
+    DontCare rows sort to the tail and get index -1."""
+    care = table.name != 'DontCare'
+    n_care = int(care.sum())
+    order = np.argsort(~care, kind='stable')   # care rows first, stable
+    index = np.full(len(table), -1, np.int32)
+    index[:n_care] = np.arange(n_care)
+    return {
+        'name': table.name[order],
+        'truncated': table.truncated[order].astype(np.float64),
+        'occluded': table.occluded[order].astype(np.float64),
+        'alpha': table.alpha[order].astype(np.float64),
+        'bbox': table.bbox[order].astype(np.float64),
+        'dimensions': table.dims[order].astype(np.float64),     # (l, h, w)
+        'location': table.loc[order].astype(np.float64),
+        'rotation_y': table.ry[order].astype(np.float64),
+        'score': table.score[order].astype(np.float64),
+        'difficulty': table.difficulty()[order],
+        'index': index,
+    }, n_care
+
+
+def _lidar_boxes_from_annos(annos: dict, n_objects: int, calib: Calibration):
+    """Camera-frame annos -> (n_objects, 7) lidar boxes [x y z l w h heading]."""
+    loc = annos['location'][:n_objects].astype(np.float32)
+    lhw = annos['dimensions'][:n_objects].astype(np.float32)
+    ry = annos['rotation_y'][:n_objects].astype(np.float32)
+    centers = calib.rect_to_lidar(loc)
+    centers[:, 2] += lhw[:, 1] / 2          # bottom face -> volumetric center
+    heading = -(np.pi / 2 + ry)
+    return np.concatenate([
+        centers, lhw[:, [0]], lhw[:, [2]], lhw[:, [1]], heading[:, None]],
+        axis=1)
 
 
 class KittiDataset(DatasetTemplate):
-    def __init__(self, dataset_cfg, class_names, training=True, root_path=None, logger=None):
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None):
         super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
                          training=training, root_path=root_path, logger=logger)
-        self.split = self.dataset_cfg.DATA_SPLIT[self.mode]
-        self.root_split_path = self.root_path / ('training' if self.split != 'test' else 'testing')
-
-        split_dir = self.root_path / 'ImageSets' / (self.split + '.txt')
-        self.sample_id_list = [x.strip() for x in open(split_dir).readlines()] \
-            if split_dir.exists() else None
-
         self.kitti_infos = []
-        self.include_kitti_data(self.mode)
+        self.set_split(self.dataset_cfg.DATA_SPLIT[self.mode], reload_infos=False)
+        self._load_infos()
 
-    def include_kitti_data(self, mode):
+    # ---- file access ----
+
+    def set_split(self, split, reload_infos=True):
+        self.split = split
+        self.root_split_path = self.root_path / (
+            'testing' if split == 'test' else 'training')
+        ids_file = self.root_path / 'ImageSets' / f'{split}.txt'
+        self.sample_id_list = ids_file.read_text().split() \
+            if ids_file.exists() else None
+        if reload_infos:
+            self.kitti_infos = []
+            self._load_infos()
+
+    def _load_infos(self):
         if self.logger is not None:
             self.logger.info('Loading KITTI dataset')
-        kitti_infos = []
-        for info_path in self.dataset_cfg.INFO_PATH[mode]:
-            info_path = self.root_path / info_path
-            if not info_path.exists():
-                continue
-            with open(info_path, 'rb') as f:
-                infos = pickle.load(f)
-                kitti_infos.extend(infos)
-        self.kitti_infos.extend(kitti_infos)
+        n0 = len(self.kitti_infos)
+        for rel in self.dataset_cfg.INFO_PATH.get(self.mode, []):
+            path = self.root_path / rel
+            if path.exists():
+                self.kitti_infos += pickle.loads(path.read_bytes())
         if self.logger is not None:
-            self.logger.info('Total samples for KITTI dataset: %d' % (len(kitti_infos)))
-
-    def set_split(self, split):
-        self.__init__(self.dataset_cfg, self.class_names, training=self.training,
-                      root_path=self.root_path, logger=self.logger)
-        self.split = split
-        self.root_split_path = self.root_path / ('training' if self.split != 'test' else 'testing')
-        split_dir = self.root_path / 'ImageSets' / (self.split + '.txt')
-        self.sample_id_list = [x.strip() for x in open(split_dir).readlines()] \
-            if split_dir.exists() else None
+            self.logger.info('Total samples for KITTI dataset: %d'
+                             % (len(self.kitti_infos) - n0))
 
     def get_lidar(self, idx):
-        lidar_file = self.root_split_path / 'velodyne' / ('%s.bin' % idx)
-        assert lidar_file.exists(), lidar_file
-        return np.fromfile(str(lidar_file), dtype=np.float32).reshape(-1, 4)
+        path = self.root_split_path / 'velodyne' / f'{idx}.bin'
+        return np.fromfile(str(path), dtype=np.float32).reshape(-1, 4)
 
     def get_image_shape(self, idx):
-        import struct
-        img_file = self.root_split_path / 'image_2' / ('%s.png' % idx)
-        assert img_file.exists(), img_file
-        # read PNG header for (H, W) without an image library
-        with open(img_file, 'rb') as f:
+        """(H, W) from the PNG IHDR header — no image library needed."""
+        with open(self.root_split_path / 'image_2' / f'{idx}.png', 'rb') as f:
             header = f.read(26)
         w, h = struct.unpack('>II', header[16:24])
         return np.array([h, w], dtype=np.int32)
 
-    def get_label(self, idx):
-        label_file = self.root_split_path / 'label_2' / ('%s.txt' % idx)
-        assert label_file.exists(), label_file
-        return get_objects_from_label(label_file)
+    def get_label(self, idx) -> LabelTable:
+        return LabelTable.from_file(self.root_split_path / 'label_2' / f'{idx}.txt')
 
-    def get_calib(self, idx):
-        calib_file = self.root_split_path / 'calib' / ('%s.txt' % idx)
-        assert calib_file.exists(), calib_file
-        return Calibration(str(calib_file))
+    def get_calib(self, idx) -> Calibration:
+        return Calibration(str(self.root_split_path / 'calib' / f'{idx}.txt'))
 
     def get_road_plane(self, idx):
-        plane_file = self.root_split_path / 'planes' / ('%s.txt' % idx)
-        if not plane_file.exists():
+        """Road plane (a, b, c, d) normalized, normal pointing up in camera
+        frame (-y); None when the optional planes/ dir is absent."""
+        path = self.root_split_path / 'planes' / f'{idx}.txt'
+        if not path.exists():
             return None
-        with open(plane_file, 'r') as f:
-            lines = f.readlines()
-        lines = [float(i) for i in lines[3].split()]
-        plane = np.asarray(lines)
-        if plane[1] > 0:
-            plane = -plane
-        return plane / np.linalg.norm(plane[0:3])
+        coefs = np.array(path.read_text().splitlines()[3].split(), np.float64)
+        if coefs[1] > 0:
+            coefs = -coefs
+        return coefs / np.linalg.norm(coefs[:3])
 
     @staticmethod
     def get_fov_flag(pts_rect, img_shape, calib):
-        pts_img, pts_rect_depth = calib.rect_to_img(pts_rect)
-        val_flag_1 = np.logical_and(pts_img[:, 0] >= 0, pts_img[:, 0] < img_shape[1])
-        val_flag_2 = np.logical_and(pts_img[:, 1] >= 0, pts_img[:, 1] < img_shape[0])
-        val_flag_merge = np.logical_and(val_flag_1, val_flag_2)
-        return np.logical_and(val_flag_merge, pts_rect_depth >= 0)
+        pix, depth = calib.rect_to_img(pts_rect)
+        h, w = int(img_shape[0]), int(img_shape[1])
+        return ((pix[:, 0] >= 0) & (pix[:, 0] < w)
+                & (pix[:, 1] >= 0) & (pix[:, 1] < h) & (depth >= 0))
+
+    # ---- offline info generation ----
 
     def get_infos(self, num_workers=4, has_label=True, count_inside_pts=True,
                   sample_id_list=None):
-        import concurrent.futures as futures
+        from concurrent.futures import ThreadPoolExecutor
 
-        def process_single_scene(sample_idx):
-            info = {}
-            info['point_cloud'] = {'num_features': 4, 'lidar_idx': sample_idx}
-            image_shape = self.get_image_shape(sample_idx)
-            info['image'] = {'image_idx': sample_idx, 'image_shape': image_shape}
+        def frame_info(sample_idx):
             calib = self.get_calib(sample_idx)
-            P2 = np.concatenate([calib.P2, np.array([[0., 0., 0., 1.]])], axis=0)
-            R0_4x4 = np.zeros([4, 4], dtype=calib.R0.dtype)
-            R0_4x4[3, 3] = 1.
-            R0_4x4[:3, :3] = calib.R0
-            V2C_4x4 = np.concatenate([calib.V2C, np.array([[0., 0., 0., 1.]])], axis=0)
-            info['calib'] = {'P2': P2, 'R0_rect': R0_4x4, 'Tr_velo_to_cam': V2C_4x4}
-
-            if has_label:
-                obj_list = self.get_label(sample_idx)
-                annotations = {
-                    'name': np.array([obj.cls_type for obj in obj_list]),
-                    'truncated': np.array([obj.truncation for obj in obj_list]),
-                    'occluded': np.array([obj.occlusion for obj in obj_list]),
-                    'alpha': np.array([obj.alpha for obj in obj_list]),
-                    'bbox': np.concatenate(
-                        [obj.box2d.reshape(1, 4) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 4)),
-                    'dimensions': np.array([[obj.l, obj.h, obj.w] for obj in obj_list]).reshape(-1, 3),
-                    'location': np.concatenate(
-                        [obj.loc.reshape(1, 3) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 3)),
-                    'rotation_y': np.array([obj.ry for obj in obj_list]),
-                    'score': np.array([obj.score for obj in obj_list]),
-                    'difficulty': np.array([obj.level for obj in obj_list], np.int32),
-                }
-                num_objects = len([obj.cls_type for obj in obj_list
-                                   if obj.cls_type != 'DontCare'])
-                num_gt = len(annotations['name'])
-                annotations['index'] = np.array(
-                    list(range(num_objects)) + [-1] * (num_gt - num_objects), np.int32)
-
-                loc = annotations['location'][:num_objects]
-                dims = annotations['dimensions'][:num_objects]
-                rots = annotations['rotation_y'][:num_objects]
-                loc_lidar = calib.rect_to_lidar(loc)
-                l, h, w = dims[:, 0:1], dims[:, 1:2], dims[:, 2:3]
-                loc_lidar[:, 2] += h[:, 0] / 2
-                gt_boxes_lidar = np.concatenate(
-                    [loc_lidar, l, w, h, -(np.pi / 2 + rots[..., np.newaxis])], axis=1)
-                annotations['gt_boxes_lidar'] = gt_boxes_lidar
-                info['annos'] = annotations
-
-                if count_inside_pts:
-                    points = self.get_lidar(sample_idx)
-                    pts_rect = calib.lidar_to_rect(points[:, 0:3])
-                    fov_flag = self.get_fov_flag(pts_rect, image_shape, calib)
-                    pts_fov = points[fov_flag]
-                    mask = kitti_utils.points_in_boxes_cpu(pts_fov[:, 0:3], gt_boxes_lidar)
-                    num_points_in_gt = -np.ones(num_gt, dtype=np.int32)
-                    num_points_in_gt[:num_objects] = mask.sum(axis=1)
-                    annotations['num_points_in_gt'] = num_points_in_gt
+            image_shape = self.get_image_shape(sample_idx)
+            info = {
+                'point_cloud': {'num_features': 4, 'lidar_idx': sample_idx},
+                'image': {'image_idx': sample_idx, 'image_shape': image_shape},
+                'calib': {
+                    'P2': np.vstack([calib.P2, [0., 0., 0., 1.]]),
+                    'R0_rect': _homogenize(calib.R0),
+                    'Tr_velo_to_cam': np.vstack([calib.V2C, [0., 0., 0., 1.]]),
+                },
+            }
+            if not has_label:
+                return info
+            annos, n_obj = _camera_annos_from_table(self.get_label(sample_idx))
+            annos['gt_boxes_lidar'] = _lidar_boxes_from_annos(annos, n_obj, calib)
+            if count_inside_pts:
+                points = self.get_lidar(sample_idx)
+                fov = self.get_fov_flag(
+                    calib.lidar_to_rect(points[:, :3]), image_shape, calib)
+                inside = kitti_utils.points_in_boxes_cpu(
+                    points[fov][:, :3], annos['gt_boxes_lidar'])
+                counts = np.full(len(annos['name']), -1, np.int32)
+                counts[:n_obj] = inside.sum(axis=1)
+                annos['num_points_in_gt'] = counts
+            info['annos'] = annos
             return info
 
-        sample_id_list = sample_id_list if sample_id_list is not None else self.sample_id_list
-        with futures.ThreadPoolExecutor(num_workers) as executor:
-            infos = executor.map(process_single_scene, sample_id_list)
-        return list(infos)
+        ids = sample_id_list if sample_id_list is not None else self.sample_id_list
+        with ThreadPoolExecutor(num_workers) as pool:
+            return list(pool.map(frame_info, ids))
 
-    def create_groundtruth_database(self, info_path=None, used_classes=None, split='train'):
-        database_save_path = Path(self.root_path) / (
-            'gt_database' if split == 'train' else ('gt_database_%s' % split))
-        db_info_save_path = Path(self.root_path) / ('kitti_dbinfos_%s.pkl' % split)
-        database_save_path.mkdir(parents=True, exist_ok=True)
-        all_db_infos = {}
+    def create_groundtruth_database(self, info_path=None, used_classes=None,
+                                    split='train'):
+        """Crop per-object point clouds + write the dbinfos pickle feeding
+        the GT sampler. Object points are stored box-centered."""
+        db_dir = self.root_path / ('gt_database' if split == 'train'
+                                   else f'gt_database_{split}')
+        db_dir.mkdir(parents=True, exist_ok=True)
+        infos = pickle.loads(Path(info_path).read_bytes())
 
-        with open(info_path, 'rb') as f:
-            infos = pickle.load(f)
-
-        for k in range(len(infos)):
-            info = infos[k]
+        db_infos = {}
+        for info in infos:
             sample_idx = info['point_cloud']['lidar_idx']
-            points = self.get_lidar(sample_idx)
             annos = info['annos']
-            names = annos['name']
-            difficulty = annos['difficulty']
-            bbox = annos['bbox']
-            gt_boxes = annos['gt_boxes_lidar']
+            boxes = annos['gt_boxes_lidar']
+            if len(boxes) == 0:
+                continue
+            points = self.get_lidar(sample_idx)
+            membership = kitti_utils.points_in_boxes_cpu(points[:, :3], boxes)
+            for i, name in enumerate(annos['name'][:len(boxes)]):
+                obj_points = points[membership[i] > 0] - np.pad(
+                    boxes[i, :3], (0, points.shape[1] - 3))
+                rel_path = db_dir.name + f'/{sample_idx}_{name}_{i}.bin'
+                obj_points.astype(np.float32).tofile(str(self.root_path / rel_path))
+                if used_classes is not None and name not in used_classes:
+                    continue
+                db_infos.setdefault(name, []).append({
+                    'name': name, 'path': rel_path, 'image_idx': sample_idx,
+                    'gt_idx': i, 'box3d_lidar': boxes[i],
+                    'num_points_in_gt': int((membership[i] > 0).sum()),
+                    'difficulty': annos['difficulty'][i], 'bbox': annos['bbox'][i],
+                    'score': annos['score'][i],
+                })
+        for name, lst in db_infos.items():
+            print(f'Database {name}: {len(lst)}')
+        with open(self.root_path / f'kitti_dbinfos_{split}.pkl', 'wb') as f:
+            pickle.dump(db_infos, f)
 
-            num_obj = gt_boxes.shape[0]
-            point_indices = kitti_utils.points_in_boxes_cpu(points[:, 0:3], gt_boxes)
-
-            for i in range(num_obj):
-                filename = '%s_%s_%d.bin' % (sample_idx, names[i], i)
-                filepath = database_save_path / filename
-                gt_points = points[point_indices[i] > 0].copy()
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                with open(filepath, 'w') as f:
-                    gt_points.tofile(f)
-                if (used_classes is None) or names[i] in used_classes:
-                    db_path = str(filepath.relative_to(self.root_path))
-                    db_info = {'name': names[i], 'path': db_path, 'image_idx': sample_idx,
-                               'gt_idx': i, 'box3d_lidar': gt_boxes[i],
-                               'num_points_in_gt': gt_points.shape[0],
-                               'difficulty': difficulty[i], 'bbox': bbox[i],
-                               'score': annos['score'][i]}
-                    all_db_infos.setdefault(names[i], []).append(db_info)
-        for k, v in all_db_infos.items():
-            print('Database %s: %d' % (k, len(v)))
-        with open(db_info_save_path, 'wb') as f:
-            pickle.dump(all_db_infos, f)
+    # ---- predictions -> KITTI annos ----
 
     @staticmethod
-    def generate_prediction_dicts(batch_dict, pred_dicts, class_names, output_path=None):
-        """Convert fixed-shape device outputs into KITTI camera-frame annos
-        (`kitti_dataset.py:276-351`). pred_dicts entries carry numpy arrays with
-        a `pred_mask` validity column from the jitted post-processing."""
-        def get_template_prediction(num_samples):
-            return {
-                'name': np.zeros(num_samples), 'truncated': np.zeros(num_samples),
-                'occluded': np.zeros(num_samples), 'alpha': np.zeros(num_samples),
-                'bbox': np.zeros([num_samples, 4]), 'dimensions': np.zeros([num_samples, 3]),
-                'location': np.zeros([num_samples, 3]), 'rotation_y': np.zeros(num_samples),
-                'score': np.zeros(num_samples), 'boxes_lidar': np.zeros([num_samples, 7]),
-            }
-
-        def generate_single_sample_dict(batch_index, box_dict):
-            mask = np.asarray(box_dict.get('pred_mask', None))
-            pred_scores = np.asarray(box_dict['pred_scores'])
-            pred_boxes = np.asarray(box_dict['pred_boxes'])
-            pred_labels = np.asarray(box_dict['pred_labels'])
-            if mask is not None:
-                pred_scores = pred_scores[mask]
-                pred_boxes = pred_boxes[mask]
-                pred_labels = pred_labels[mask].astype(np.int64)
-            pred_dict = get_template_prediction(pred_scores.shape[0])
-            if pred_scores.shape[0] == 0:
-                return pred_dict
-
-            calib = batch_dict['calib'][batch_index]
-            image_shape = np.asarray(batch_dict['image_shape'][batch_index])
-            pred_boxes_camera = kitti_utils.boxes3d_lidar_to_kitti_camera(pred_boxes, calib)
-            pred_boxes_img = kitti_utils.boxes3d_kitti_camera_to_imageboxes(
-                pred_boxes_camera, calib, image_shape=image_shape)
-
-            pred_dict['name'] = np.array(class_names)[pred_labels - 1]
-            pred_dict['alpha'] = (-np.arctan2(-pred_boxes[:, 1], pred_boxes[:, 0])
-                                  + pred_boxes_camera[:, 6])
-            pred_dict['bbox'] = pred_boxes_img
-            pred_dict['dimensions'] = pred_boxes_camera[:, 3:6]
-            pred_dict['location'] = pred_boxes_camera[:, 0:3]
-            pred_dict['rotation_y'] = pred_boxes_camera[:, 6]
-            pred_dict['score'] = pred_scores
-            pred_dict['boxes_lidar'] = pred_boxes
-            return pred_dict
-
+    def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        """Fixed-shape device outputs -> per-frame KITTI camera annos.
+        The `pred_mask` validity column from the jitted post-processing
+        selects real detections; conversion is vectorized per frame."""
         annos = []
-        for index, box_dict in enumerate(pred_dicts):
-            frame_id = batch_dict['frame_id'][index]
-            single_pred_dict = generate_single_sample_dict(index, box_dict)
-            single_pred_dict['frame_id'] = frame_id
-            annos.append(single_pred_dict)
+        for b, det in enumerate(pred_dicts):
+            valid = np.asarray(det['pred_mask']).astype(bool)
+            boxes = np.asarray(det['pred_boxes'])[valid]
+            scores = np.asarray(det['pred_scores'])[valid]
+            labels = np.asarray(det['pred_labels'])[valid].astype(np.int64)
+
+            n = len(boxes)
+            frame = {
+                'frame_id': batch_dict['frame_id'][b],
+                'name': np.zeros(n), 'truncated': np.zeros(n),
+                'occluded': np.zeros(n), 'alpha': np.zeros(n),
+                'bbox': np.zeros((n, 4)), 'dimensions': np.zeros((n, 3)),
+                'location': np.zeros((n, 3)), 'rotation_y': np.zeros(n),
+                'score': np.zeros(n), 'boxes_lidar': np.zeros((n, 7)),
+            }
+            if n:
+                calib = batch_dict['calib'][b]
+                cam = kitti_utils.boxes3d_lidar_to_kitti_camera(boxes, calib)
+                frame.update(
+                    name=np.array(class_names)[labels - 1],
+                    alpha=cam[:, 6] - np.arctan2(-boxes[:, 1], boxes[:, 0]),
+                    bbox=kitti_utils.boxes3d_kitti_camera_to_imageboxes(
+                        cam, calib,
+                        image_shape=np.asarray(batch_dict['image_shape'][b])),
+                    dimensions=cam[:, 3:6], location=cam[:, 0:3],
+                    rotation_y=cam[:, 6], score=scores, boxes_lidar=boxes,
+                )
+            annos.append(frame)
             if output_path is not None:
-                cur_det_file = Path(output_path) / ('%s.txt' % frame_id)
-                with open(cur_det_file, 'w') as f:
-                    bbox = single_pred_dict['bbox']
-                    loc = single_pred_dict['location']
-                    dims = single_pred_dict['dimensions']
-                    for idx in range(len(bbox)):
-                        print('%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f'
-                              % (single_pred_dict['name'][idx], single_pred_dict['alpha'][idx],
-                                 bbox[idx][0], bbox[idx][1], bbox[idx][2], bbox[idx][3],
-                                 dims[idx][1], dims[idx][2], dims[idx][0], loc[idx][0],
-                                 loc[idx][1], loc[idx][2], single_pred_dict['rotation_y'][idx],
-                                 single_pred_dict['score'][idx]), file=f)
+                _write_kitti_label(Path(output_path)
+                                   / f"{frame['frame_id']}.txt", frame)
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        if 'annos' not in self.kitti_infos[0].keys():
+        if 'annos' not in self.kitti_infos[0]:
             return None, {}
         from .eval import get_official_eval_result
-        eval_det_annos = copy.deepcopy(det_annos)
-        eval_gt_annos = [copy.deepcopy(info['annos']) for info in self.kitti_infos]
-        ap_result_str, ap_dict = get_official_eval_result(
-            eval_gt_annos, eval_det_annos, class_names)
-        return ap_result_str, ap_dict
+        gt = [copy.deepcopy(info['annos']) for info in self.kitti_infos]
+        return get_official_eval_result(gt, copy.deepcopy(det_annos), class_names)
+
+    # ---- torch-style dataset protocol ----
 
     def __len__(self):
+        n = len(self.kitti_infos)
         if self.dataset_cfg.get('MERGE_ALL_ITERS_TO_ONE_EPOCH', False):
-            return len(self.kitti_infos) * self.total_epochs
-        return len(self.kitti_infos)
+            n *= self.total_epochs
+        return n
 
     def __getitem__(self, index):
-        if self.dataset_cfg.get('MERGE_ALL_ITERS_TO_ONE_EPOCH', False):
-            index = index % len(self.kitti_infos)
-        info = copy.deepcopy(self.kitti_infos[index])
+        index %= len(self.kitti_infos)
+        info = self.kitti_infos[index]
         sample_idx = info['point_cloud']['lidar_idx']
         img_shape = info['image']['image_shape']
         calib = self.get_calib(sample_idx)
-        get_item_list = self.dataset_cfg.get('GET_ITEM_LIST', ['points'])
 
         input_dict = {'frame_id': sample_idx, 'calib': calib}
-
         if 'annos' in info:
             annos = info['annos']
-            mask = annos['name'] != 'DontCare'
-            annos = {k: v[mask] if isinstance(v, np.ndarray) and v.shape[:1] == annos['name'].shape[:1]
-                     else v for k, v in annos.items()}
-            gt_names = annos['name']
-            gt_boxes_lidar = annos['gt_boxes_lidar']
-            input_dict.update({'gt_names': gt_names, 'gt_boxes': gt_boxes_lidar})
+            care = annos['name'] != 'DontCare'
+            input_dict['gt_names'] = annos['name'][care]
+            input_dict['gt_boxes'] = annos['gt_boxes_lidar'][
+                care[:len(annos['gt_boxes_lidar'])]].copy()
+            if self.training:
+                plane = self.get_road_plane(sample_idx)
+                if plane is not None:
+                    input_dict['road_plane'] = plane
 
-        if 'points' in get_item_list:
+        if 'points' in self.dataset_cfg.get('GET_ITEM_LIST', ['points']):
             points = self.get_lidar(sample_idx)
             if self.dataset_cfg.get('FOV_POINTS_ONLY', False):
-                pts_rect = calib.lidar_to_rect(points[:, 0:3])
-                fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
-                points = points[fov_flag]
+                fov = self.get_fov_flag(
+                    calib.lidar_to_rect(points[:, :3]), img_shape, calib)
+                points = points[fov]
             input_dict['points'] = points
 
         data_dict = self.prepare_data(data_dict=input_dict)
-        if data_dict is None:  # zero GT after aug -> resample
-            new_index = np.random.randint(self.__len__())
-            return self.__getitem__(new_index)
+        if data_dict is None:   # augmentation left zero GT -> resample
+            return self.__getitem__(np.random.randint(len(self)))
         data_dict['image_shape'] = img_shape
         return data_dict
 
 
+def _write_kitti_label(path: Path, frame: dict):
+    """One prediction frame -> official KITTI result txt."""
+    cols = np.column_stack([
+        frame['alpha'], frame['bbox'],
+        frame['dimensions'][:, [1, 2, 0]],    # print order h, w, l
+        frame['location'], frame['rotation_y'], frame['score'],
+    ]) if len(frame['name']) else np.zeros((0, 13))
+    with open(path, 'w') as f:
+        for name, row in zip(frame['name'], cols):
+            f.write(f"{name} -1 -1 " + ' '.join(f'{v:.4f}' for v in row) + '\n')
+
+
 def create_kitti_infos(dataset_cfg, class_names, data_path, save_path, workers=4):
-    """(`kitti_dataset.py:431-484`.)"""
+    """Offline info + GT-database generation for all splits
+    (`kitti_dataset.create_kitti_infos` role)."""
     dataset = KittiDataset(dataset_cfg=dataset_cfg, class_names=class_names,
                            root_path=data_path, training=False)
-    train_split, val_split = 'train', 'val'
-
-    train_filename = save_path / ('kitti_infos_%s.pkl' % train_split)
-    val_filename = save_path / ('kitti_infos_%s.pkl' % val_split)
-    trainval_filename = save_path / 'kitti_infos_trainval.pkl'
-    test_filename = save_path / 'kitti_infos_test.pkl'
-
+    save_path = Path(save_path)
     print('---------------Start to generate data infos---------------')
-    dataset.set_split(train_split)
-    kitti_infos_train = dataset.get_infos(num_workers=workers, has_label=True,
-                                          count_inside_pts=True)
-    with open(train_filename, 'wb') as f:
-        pickle.dump(kitti_infos_train, f)
-    print('Kitti info train file is saved to %s' % train_filename)
 
-    dataset.set_split(val_split)
-    kitti_infos_val = dataset.get_infos(num_workers=workers, has_label=True,
-                                        count_inside_pts=True)
-    with open(val_filename, 'wb') as f:
-        pickle.dump(kitti_infos_val, f)
-    print('Kitti info val file is saved to %s' % val_filename)
-
-    with open(trainval_filename, 'wb') as f:
-        pickle.dump(kitti_infos_train + kitti_infos_val, f)
+    per_split = {}
+    for split in ['train', 'val']:
+        dataset.set_split(split, reload_infos=False)
+        per_split[split] = dataset.get_infos(
+            num_workers=workers, has_label=True, count_inside_pts=True)
+        out = save_path / f'kitti_infos_{split}.pkl'
+        out.write_bytes(pickle.dumps(per_split[split]))
+        print(f'Kitti info {split} file is saved to {out}')
+    (save_path / 'kitti_infos_trainval.pkl').write_bytes(
+        pickle.dumps(per_split['train'] + per_split['val']))
 
     if (Path(data_path) / 'testing').exists():
-        dataset.set_split('test')
-        kitti_infos_test = dataset.get_infos(num_workers=workers, has_label=False,
-                                             count_inside_pts=False)
-        with open(test_filename, 'wb') as f:
-            pickle.dump(kitti_infos_test, f)
+        dataset.set_split('test', reload_infos=False)
+        (save_path / 'kitti_infos_test.pkl').write_bytes(pickle.dumps(
+            dataset.get_infos(num_workers=workers, has_label=False,
+                              count_inside_pts=False)))
 
     print('---------------Start create groundtruth database for data augmentation---------------')
-    dataset.set_split(train_split)
-    dataset.create_groundtruth_database(train_filename, split=train_split)
+    dataset.set_split('train', reload_infos=False)
+    dataset.create_groundtruth_database(
+        save_path / 'kitti_infos_train.pkl', split='train')
     print('---------------Data preparation Done---------------')
 
 
 if __name__ == '__main__':
     import sys
-    if sys.argv.__len__() > 1 and sys.argv[1] == 'create_kitti_infos':
+    if len(sys.argv) > 1 and sys.argv[1] == 'create_kitti_infos':
         import yaml
         from ...utils.config import CfgNode
         dataset_cfg = CfgNode(yaml.safe_load(open(sys.argv[2])))
-        ROOT_DIR = Path(__file__).resolve().parent / '../../../'
-        create_kitti_infos(
-            dataset_cfg=dataset_cfg,
-            class_names=['Car', 'Pedestrian', 'Cyclist'],
-            data_path=ROOT_DIR / 'data' / 'kitti',
-            save_path=ROOT_DIR / 'data' / 'kitti')
+        root = Path(__file__).resolve().parent / '../../../'
+        create_kitti_infos(dataset_cfg=dataset_cfg,
+                           class_names=['Car', 'Pedestrian', 'Cyclist'],
+                           data_path=root / 'data' / 'kitti',
+                           save_path=root / 'data' / 'kitti')

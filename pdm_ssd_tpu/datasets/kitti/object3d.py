@@ -1,78 +1,98 @@
-"""KITTI label-file parsing (host-side numpy).
+"""KITTI label files as vectorized numpy tables.
 
-Parity with `pcdet/utils/object3d_kitti.py`: per-object fields, difficulty
-levels from occlusion/truncation/bbox height, camera-frame 3D box.
+Covers the role of `pcdet/utils/object3d_kitti.py` (per-object label parsing,
+difficulty levels, camera-frame corners) but as a columnar design: one parse
+produces arrays over all objects in the frame, and difficulty/corners are
+single vectorized expressions instead of per-object methods. The KITTI label
+column layout and the official difficulty rubric (bbox height / occlusion /
+truncation bands) are protocol constants.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
+# official KITTI difficulty bands: (min bbox height px, max occlusion,
+# max truncation) for Easy / Moderate / Hard
+_DIFFICULTY_BANDS = ((40.0, 0, 0.15), (25.0, 1, 0.30), (25.0, 2, 0.50))
 
-def get_objects_from_label(label_file):
-    with open(label_file, 'r') as f:
-        lines = f.readlines()
-    return [Object3d(line) for line in lines]
-
-
-def cls_type_to_id(cls_type):
-    type_to_id = {'Car': 1, 'Pedestrian': 2, 'Cyclist': 3, 'Van': 4}
-    return type_to_id.get(cls_type, -1)
+CLASS_IDS = {'Car': 1, 'Pedestrian': 2, 'Cyclist': 3, 'Van': 4}
 
 
-class Object3d(object):
-    def __init__(self, line):
-        label = line.strip().split(' ')
-        self.src = line
-        self.cls_type = label[0]
-        self.cls_id = cls_type_to_id(self.cls_type)
-        self.truncation = float(label[1])
-        self.occlusion = float(label[2])  # 0 visible, 1 partly, 2 fully, 3 unknown
-        self.alpha = float(label[3])
-        self.box2d = np.array((float(label[4]), float(label[5]), float(label[6]),
-                               float(label[7])), dtype=np.float32)
-        self.h = float(label[8])
-        self.w = float(label[9])
-        self.l = float(label[10])
-        self.loc = np.array((float(label[11]), float(label[12]), float(label[13])),
-                            dtype=np.float32)
-        self.dis_to_cam = np.linalg.norm(self.loc)
-        self.ry = float(label[14])
-        self.score = float(label[15]) if label.__len__() == 16 else -1.0
-        self.level_str = None
-        self.level = self.get_kitti_obj_level()
+@dataclass
+class LabelTable:
+    """Columnar view of one frame's label file. All arrays share length N.
 
-    def get_kitti_obj_level(self):
-        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
+    `dims` is ordered (l, h, w) as printed in the label line; `loc` is the
+    camera-frame bottom-center; `ry` the camera yaw.
+    """
+    name: np.ndarray        # (N,) <U str
+    truncated: np.ndarray   # (N,) f32
+    occluded: np.ndarray    # (N,) f32
+    alpha: np.ndarray       # (N,) f32
+    bbox: np.ndarray        # (N, 4) f32 image box
+    dims: np.ndarray        # (N, 3) f32 (l, h, w)
+    loc: np.ndarray         # (N, 3) f32 camera frame
+    ry: np.ndarray          # (N,) f32
+    score: np.ndarray       # (N,) f32 (-1 for GT files)
 
-        if height >= 40 and self.truncation <= 0.15 and self.occlusion <= 0:
-            self.level_str = 'Easy'
-            return 0
-        elif height >= 25 and self.truncation <= 0.3 and self.occlusion <= 1:
-            self.level_str = 'Moderate'
-            return 1
-        elif height >= 25 and self.truncation <= 0.5 and self.occlusion <= 2:
-            self.level_str = 'Hard'
-            return 2
-        else:
-            self.level_str = 'UnKnown'
-            return -1
+    def __len__(self):
+        return len(self.name)
 
-    def generate_corners3d(self):
-        """camera-frame (8, 3) corners."""
-        l, h, w = self.l, self.h, self.w
-        x_corners = [l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2]
-        y_corners = [0, 0, 0, 0, -h, -h, -h, -h]
-        z_corners = [w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2]
+    @classmethod
+    def from_file(cls, path) -> 'LabelTable':
+        with open(path) as f:
+            rows = [ln.split() for ln in f if ln.strip()]
+        return cls.from_rows(rows)
 
-        R = np.array([[np.cos(self.ry), 0, np.sin(self.ry)],
-                      [0, 1, 0],
-                      [-np.sin(self.ry), 0, np.cos(self.ry)]])
-        corners3d = np.vstack([x_corners, y_corners, z_corners])  # (3, 8)
-        corners3d = np.dot(R, corners3d).T
-        corners3d = corners3d + self.loc
-        return corners3d
+    @classmethod
+    def from_rows(cls, rows) -> 'LabelTable':
+        names = np.array([r[0] for r in rows]) if rows else np.zeros((0,), '<U10')
+        num = np.array(
+            [[float(v) for v in r[1:15]] + [float(r[15]) if len(r) > 15 else -1.0]
+             for r in rows], np.float32).reshape(len(rows), 15)
+        return cls(
+            name=names,
+            truncated=num[:, 0], occluded=num[:, 1], alpha=num[:, 2],
+            bbox=num[:, 3:7],
+            # label order is h, w, l -> store (l, h, w)
+            dims=num[:, [9, 7, 8]],
+            loc=num[:, 10:13], ry=num[:, 13], score=num[:, 14],
+        )
 
-    def to_str(self):
-        return ('%s %.3f %.3f %.3f box2d: %s hwl: [%.3f %.3f %.3f] pos: %s ry: %.3f'
-                % (self.cls_type, self.truncation, self.occlusion, self.alpha,
-                   self.box2d, self.h, self.w, self.l, self.loc, self.ry))
+    @property
+    def cls_id(self) -> np.ndarray:
+        return np.array([CLASS_IDS.get(n, -1) for n in self.name], np.int32)
+
+    def difficulty(self) -> np.ndarray:
+        """(N,) int32 in {0 easy, 1 moderate, 2 hard, -1 unknown}, vectorized
+        over the official bands."""
+        height = self.bbox[:, 3] - self.bbox[:, 1] + 1.0
+        conds = [(height >= h) & (self.occluded <= o) & (self.truncated <= t)
+                 for h, o, t in _DIFFICULTY_BANDS]
+        return np.select(conds, [0, 1, 2], default=-1).astype(np.int32)
+
+    def camera_corners(self) -> np.ndarray:
+        """(N, 8, 3) camera-frame box corners (y-down, loc at bottom face),
+        one einsum over all boxes."""
+        l, h, w = self.dims[:, 0], self.dims[:, 1], self.dims[:, 2]
+        sx = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float32)
+        sy = np.array([0, 0, 0, 0, -1, -1, -1, -1], np.float32)
+        sz = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float32)
+        local = np.stack([
+            sx[None] * (l[:, None] / 2),
+            sy[None] * h[:, None],
+            sz[None] * (w[:, None] / 2),
+        ], axis=-1)                                            # (N, 8, 3)
+        c, s = np.cos(self.ry), np.sin(self.ry)
+        zero, one = np.zeros_like(c), np.ones_like(c)
+        rot = np.stack([c, zero, s, zero, one, zero, -s, zero, c],
+                       axis=-1).reshape(-1, 3, 3)
+        return np.einsum('nij,nkj->nki', rot, local) + self.loc[:, None, :]
+
+
+def get_objects_from_label(label_file) -> LabelTable:
+    """Parse a label file. Returns the columnar table (the per-object
+    `Object3d` list of the reference is replaced by column indexing)."""
+    return LabelTable.from_file(label_file)

@@ -30,65 +30,61 @@ class NuScenesDataset(DatasetTemplate):
             self.infos = self.balanced_infos_resampling(self.infos)
 
     def include_nuscenes_data(self, mode):
-        nuscenes_infos = []
-        for info_path in self.dataset_cfg.INFO_PATH[mode]:
-            info_path = self.root_path / info_path
-            if not info_path.exists():
-                continue
-            with open(info_path, 'rb') as f:
-                nuscenes_infos.extend(pickle.load(f))
-        self.infos.extend(nuscenes_infos)
+        n0 = len(self.infos)
+        for rel in self.dataset_cfg.INFO_PATH[mode]:
+            path = self.root_path / rel
+            if path.exists():
+                self.infos += pickle.loads(path.read_bytes())
         if self.logger is not None:
-            self.logger.info('Total samples for NuScenes dataset: %d' % len(nuscenes_infos))
+            self.logger.info('Total samples for NuScenes dataset: %d'
+                             % (len(self.infos) - n0))
 
     def balanced_infos_resampling(self, infos):
-        """Class-balanced resampling (`nuscenes_dataset.py` reference behavior):
-        duplicate infos so every class appears with equal frequency."""
-        if self.class_names is None:
+        """Class-balanced resampling (role of the reference's
+        `balanced_infos_resampling`): each class's frame list is resampled so
+        all classes contribute equally, implemented over index arrays."""
+        if not self.class_names:
             return infos
-        cls_infos = {name: [] for name in self.class_names}
-        for info in infos:
-            for name in set(info['gt_names']):
-                if name in cls_infos:
-                    cls_infos[name].append(info)
-        duplicated_samples = sum([len(v) for v in cls_infos.values()])
-        cls_dist = {k: len(v) / max(duplicated_samples, 1) for k, v in cls_infos.items()}
-        sampled_infos = []
-        frac = 1.0 / len(self.class_names)
-        ratios = [frac / max(v, 1e-6) for v in cls_dist.values()]
-        for cur_cls_infos, ratio in zip(list(cls_infos.values()), ratios):
-            sampled_infos += np.random.choice(
-                cur_cls_infos, int(len(cur_cls_infos) * ratio)).tolist()
-        return sampled_infos if sampled_infos else infos
+        frames_with = {name: np.array(
+            [i for i, info in enumerate(infos) if name in set(info['gt_names'])],
+            np.int64) for name in self.class_names}
+        total = sum(len(v) for v in frames_with.values())
+        if total == 0:
+            return infos
+        picked = []
+        for name, idxs in frames_with.items():
+            if len(idxs) == 0:
+                continue
+            # equalize: each class ends up with ~total/n_classes samples
+            n_take = int(round(total / len(self.class_names)))
+            picked.append(np.random.choice(idxs, n_take, replace=True))
+        order = np.concatenate(picked) if picked else np.arange(len(infos))
+        return [infos[i] for i in order]
 
-    def get_sweep(self, sweep_info):
-        lidar_path = self.root_path / sweep_info['lidar_path']
-        points_sweep = np.fromfile(str(lidar_path), dtype=np.float32,
-                                   count=-1).reshape([-1, 5])[:, :4]
-        points_sweep = points_sweep.T
-        if sweep_info['transform_matrix'] is not None:
-            num_points = points_sweep.shape[1]
-            points_sweep[:3, :] = sweep_info['transform_matrix'].dot(
-                np.vstack((points_sweep[:3, :], np.ones(num_points))))[:3, :]
-        cur_times = sweep_info['time_lag'] * np.ones((1, points_sweep.shape[1]))
-        return points_sweep.T, cur_times.T
+    def _read_sweep_points(self, rel_path) -> np.ndarray:
+        """One sweep file -> (N, 4) xyzi (nuScenes stores 5 floats/point)."""
+        raw = np.fromfile(str(self.root_path / rel_path), dtype=np.float32)
+        return raw.reshape(-1, 5)[:, :4]
 
-    def get_lidar_with_sweeps(self, index, max_sweeps=1):
+    def get_lidar_with_sweeps(self, index, max_sweeps=1) -> np.ndarray:
+        """Key-frame points + up to max_sweeps-1 past sweeps, ego-aligned,
+        with a per-point time-lag channel appended -> (N, 5)."""
         info = self.infos[index]
-        lidar_path = self.root_path / info['lidar_path']
-        points = np.fromfile(str(lidar_path), dtype=np.float32,
-                             count=-1).reshape([-1, 5])[:, :4]
-        sweep_points_list = [points]
-        sweep_times_list = [np.zeros((points.shape[0], 1))]
-        for k in np.random.choice(len(info['sweeps']),
-                                  min(max_sweeps - 1, len(info['sweeps'])),
-                                  replace=False):
-            points_sweep, times_sweep = self.get_sweep(info['sweeps'][k])
-            sweep_points_list.append(points_sweep)
-            sweep_times_list.append(times_sweep)
-        points = np.concatenate(sweep_points_list, axis=0)
-        times = np.concatenate(sweep_times_list, axis=0).astype(points.dtype)
-        return np.concatenate((points, times), axis=1)
+        chunks = [self._read_sweep_points(info['lidar_path'])]
+        lags = [0.0]
+        n_extra = min(max_sweeps - 1, len(info['sweeps']))
+        for k in np.random.choice(len(info['sweeps']), n_extra, replace=False):
+            sweep = info['sweeps'][k]
+            pts = self._read_sweep_points(sweep['lidar_path'])
+            tm = sweep['transform_matrix']
+            if tm is not None:
+                pts[:, :3] = pts[:, :3] @ tm[:3, :3].T + tm[:3, 3]
+            chunks.append(pts)
+            lags.append(float(sweep['time_lag']))
+        xyzi = np.concatenate(chunks, axis=0)
+        time_col = np.repeat(np.array(lags, np.float32),
+                             [len(c) for c in chunks])[:, None]
+        return np.concatenate([xyzi, time_col], axis=1)
 
     def __len__(self):
         return len(self.infos)

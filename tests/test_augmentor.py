@@ -68,3 +68,50 @@ def test_sampler_collision_rejection():
         or valid.tolist() == [False, False, True]
     # the clear box collides only with #2; between them exactly one family wins
     assert not valid[0]
+
+
+def test_road_plane_snapping():
+    """Sampled boxes must land with their bottom face on the road plane
+    (`database_sampler.py:149-167` behavior)."""
+    from pdm_ssd_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+    from pdm_ssd_tpu.datasets.kitti.calibration import Calibration
+
+    P2 = np.array([[700., 0., 600., 0.], [0., 700., 180., 0.],
+                   [0., 0., 1., 0.]], np.float32)
+    R0 = np.eye(3, dtype=np.float32)
+    V2C = np.array([[0., -1., 0., 0.], [0., 0., -1., 0.],
+                    [1., 0., 0., 0.]], np.float32)
+    calib = Calibration({'P2': P2, 'R0': R0, 'Tr_velo2cam': V2C})
+
+    # lidar plane z = -1.6  <=>  camera y = +1.6 (y down): 0*x + 1*y + 0*z - 1.6 = 0
+    plane = np.array([0., -1., 0., 1.6])  # get_road_plane flips to b < 0
+    plane = plane / np.linalg.norm(plane[:3])
+
+    boxes = np.array([[12., 3., 0.7, 4., 2., 1.5, 0.2],
+                      [25., -6., -3.0, 4., 2., 1.5, 1.1]], np.float32)
+    sampler = DataBaseSampler.__new__(DataBaseSampler)  # geometry-only
+    dz = sampler._snap_to_road_plane(
+        boxes, {'calib': calib, 'road_plane': plane})
+    bottoms = boxes[:, 2] - boxes[:, 5] / 2
+    np.testing.assert_allclose(bottoms, -1.6, atol=1e-5)
+    assert dz.shape == (2,)
+
+
+def test_sample_points_semantics(rng):
+    from pdm_ssd_tpu.datasets.processor.data_processor import DataProcessor
+    from pdm_ssd_tpu.utils.config import as_cfg
+    pts = rng.rand(500, 4).astype(np.float32) * 10
+    pts[:100, 0] = 60.0  # 100 far points (depth >= 40)
+    proc = DataProcessor.__new__(DataProcessor)
+    proc.mode = 'train'
+    step = proc._build_sample_points(as_cfg({'NUM_POINTS': {'train': 300}}))
+    out = step({'points': pts.copy()})['points']
+    assert out.shape == (300, 4)
+    # all far points survive when the budget allows
+    assert (out[:, 0] == 60.0).sum() == 100
+    # under budget -> duplicate padding
+    step2 = proc._build_sample_points(as_cfg({'NUM_POINTS': {'train': 800}}))
+    out2 = step2({'points': pts.copy()})['points']
+    assert out2.shape == (800, 4)
+    uniq = np.unique(out2, axis=0)
+    assert len(uniq) == 500
