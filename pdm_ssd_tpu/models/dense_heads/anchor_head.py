@@ -171,15 +171,14 @@ class AnchorHeadSingle(nn.Module):
 
             best_gt_iou = jnp.max(iou, axis=1)
             best_gt = jnp.argmax(iou, axis=1)
-            # force: best anchor per gt is positive
-            best_anchor = jnp.argmax(iou, axis=0)                # (M,)
-            gt_has_match = jnp.max(iou, axis=0) > 0
-            # max-combining scatter: a False write from a padded GT (argmax=0
-            # on an all -1 row) must not clobber a True force-match landing on
-            # the same anchor, and duplicate best anchors resolve to True if
-            # any contributing GT matches.
-            force = jnp.zeros((A,), jnp.int32).at[best_anchor].max(
-                (gt_has_match & gmask).astype(jnp.int32)) > 0
+            # force-match: EVERY anchor tying a gt's max overlap is positive
+            # (`axis_aligned_target_assigner.py:155-158` compares the full
+            # column against gt_to_anchor_max, not just the argmax — ties are
+            # common when small anchors sit fully inside a large gt). The
+            # iou > 0 guard reproduces the empty-gt -1 sentinel (:152-153)
+            # and excludes masked pairs (already -1 here).
+            gt_max = jnp.max(iou, axis=0)                        # (M,)
+            force = jnp.any((iou == gt_max[None, :]) & (iou > 0), axis=1)
             pos = (best_gt_iou >= matched_t) | force
             neg = (best_gt_iou < unmatched_t) & ~pos
             labels = jnp.where(pos, gt_cls[best_gt], jnp.where(neg, 0, -1))

@@ -56,25 +56,19 @@ def test_partial_batch_shards_on_full_mesh():
     assert sharded['points'].shape == (8, 16, 4)  # no NamedSharding crash
 
 
-def test_anchor_force_match_padded_gt_cannot_clobber():
-    """A padded GT whose all -1 IoU row argmaxes to anchor 0 must not erase a
-    real force-match at anchor 0 (max-combining scatter)."""
-    A, M = 4, 3
+def test_anchor_force_match_tie_semantics():
+    """Force-match must flag EVERY anchor tying a gt's max overlap (the
+    reference compares the whole column, axis_aligned_target_assigner.py:155),
+    and padded gts (all -1 iou rows) must contribute nothing."""
     iou = jnp.array([
-        [0.3, -1.0, -1.0],   # anchor 0: best for gt0
-        [0.1, -1.0, -1.0],
-        [0.0, -1.0, -1.0],
-        [0.0, -1.0, -1.0],
+        [0.3, -1.0],    # anchors 0,1 tie gt0's max
+        [0.3, -1.0],
+        [0.1, -1.0],
+        [0.0, -1.0],
     ])
-    gmask = jnp.array([True, False, False])
-    best_anchor = jnp.argmax(iou, axis=0)          # gt1, gt2 (padded) -> 0
-    gt_has_match = jnp.max(iou, axis=0) > 0
-    force = jnp.zeros((A,), jnp.int32).at[best_anchor].max(
-        (gt_has_match & gmask).astype(jnp.int32)) > 0
-    assert bool(force[0])
-    # the old .set() form failed exactly here:
-    force_old = jnp.zeros((A,), bool).at[best_anchor].set(gt_has_match & gmask)
-    assert not bool(force_old[0])
+    gt_max = jnp.max(iou, axis=0)
+    force = jnp.any((iou == gt_max[None, :]) & (iou > 0), axis=1)
+    assert force.tolist() == [True, True, False, False]
 
 
 class _RoiHarness:
