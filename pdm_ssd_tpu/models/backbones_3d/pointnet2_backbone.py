@@ -67,6 +67,71 @@ class SAModuleMSG(nn.Module):
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
+class SAModuleMSGFused(nn.Module):
+    """MXU-fused set abstraction: grid-bucketed query + one-hot-matmul
+    grouping (`ops/sa_fused.py`) with the first shared-MLP layer folded in
+    front of the bucket table (exact by linearity: Dense([rel_xyz; feat]) =
+    Dense_xyz(rel_xyz) + Dense_feat(feat), bias-free because BN follows —
+    reference stack `pointnet2_modules.py:90-97`).
+
+    Numerically equivalent to `SAModuleMSG` up to the documented selection
+    semantics of `ops/sa_fused.py` (bucket candidate order, cap drops,
+    zero rows for empty balls) — see tests/test_sa_fused.py and
+    tests/test_pointnet2_fused_module.py.
+    """
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    sample_method: str = 'fps'
+    pc_range: Sequence[float] | None = None
+    bucket_cap: int = 32
+
+    @nn.compact
+    def __call__(self, xyz, features, training: bool = False):
+        from ...ops import sa_fused
+
+        if self.sample_method == 'random':
+            new_xyz = xyz[:, :self.npoint]
+        else:
+            fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
+            new_xyz = dispatch.gather_operation(xyz, fps_idx)
+
+        h1 = [int(m[0]) for m in self.mlps]
+        payload = None
+        feat_slices = None
+        if features is not None:
+            pres = [nn.Dense(h1[i], use_bias=False, name=f'pre_feat_{i}')(features)
+                    for i in range(len(self.mlps))]
+            payload = jnp.concatenate(pres, axis=-1)
+            offs = [0]
+            for h in h1:
+                offs.append(offs[-1] + h)
+            feat_slices = [(offs[i], offs[i + 1]) for i in range(len(h1))]
+
+        pr = self.pc_range
+        assert pr is not None, 'fused SA needs the BEV pc_range'
+        outs = sa_fused.fused_query_group(
+            list(self.radii), list(self.nsamples), xyz, payload, new_xyz,
+            tuple(pr), cap=self.bucket_cap, feat_slices=feat_slices)
+
+        assert self.use_xyz or features is not None
+        branch_feats = []
+        for i, (rel, gfeat, _hit) in enumerate(outs):
+            h = gfeat if features is not None else 0.0
+            if self.use_xyz:
+                h = h + nn.Dense(h1[i], use_bias=False, name=f'pre_xyz_{i}')(rel)
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, name=f'bn0_{i}')(h)
+            h = nn.relu(h)
+            rest = list(self.mlps[i][1:])
+            if rest:
+                h = SharedMLP(rest, name=f'mlp_rest_{i}')(h, training=training)
+            branch_feats.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(branch_feats, axis=-1)
+
+
 class FPModule(nn.Module):
     """Feature propagation: three-NN inverse-distance interpolation + unit MLP
     (`pointnet2_modules.py:122-170`)."""
@@ -115,14 +180,24 @@ class PointNet2MSG(nn.Module):
         if self.pc_range is not None:
             r = list(self.pc_range)
             bev_range = (r[0], r[1], r[3], r[4])
+        fused = bool(sa_cfg.get('FUSED', False)) and bev_range is not None
         l_xyz, l_features = [xyz], [features]
         for k in range(len(sa_cfg.NPOINTS)):
             mlps = [list(m) for m in sa_cfg.MLPS[k]]
-            sa = SAModuleMSG(
-                npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
-                nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
-                use_xyz=sa_cfg.get('USE_XYZ', True),
-                sample_method=methods[k], pc_range=bev_range, name=f'sa_{k}')
+            if fused:
+                sa = SAModuleMSGFused(
+                    npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                    nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                    use_xyz=sa_cfg.get('USE_XYZ', True),
+                    sample_method=methods[k], pc_range=bev_range,
+                    bucket_cap=int(sa_cfg.get('BUCKET_CAP', 32)),
+                    name=f'sa_{k}')
+            else:
+                sa = SAModuleMSG(
+                    npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
+                    nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
+                    use_xyz=sa_cfg.get('USE_XYZ', True),
+                    sample_method=methods[k], pc_range=bev_range, name=f'sa_{k}')
             li_xyz, li_features = sa(l_xyz[k], l_features[k], training=training)
             l_xyz.append(li_xyz)
             l_features.append(li_features)

@@ -13,7 +13,7 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     name = model_cfg.NAME
     if name == 'PDMSSD':
         return PDMSSD(model_cfg=model_cfg, num_class=num_class,
-                      dataset_cfg=dataset_cfg)
+                      dataset_cfg=dataset_cfg, class_names=class_names)
     if name == 'PointRCNN':
         return PointRCNN(model_cfg=model_cfg, num_class=num_class,
                          dataset_cfg=dataset_cfg)

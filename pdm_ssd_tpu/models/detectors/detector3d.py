@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import iou3d
 from ...ops.selection import two_stage_topk
+from .. import model_nms
 from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import Conv2DCollapse, HeightCompression, PointPillarScatter
@@ -121,7 +121,8 @@ class Detector3D(nn.Module):
             self.dense_head = CenterHead(
                 model_cfg=head_cfg, input_channels=head_in, num_class=self.num_class,
                 grid_size=fmap, point_cloud_range=pc_range,
-                voxel_size=voxel[:2])
+                voxel_size=voxel[:2],
+                class_names=tuple(self.class_names) if self.class_names else None)
         else:
             self.dense_head = AnchorHeadSingle(
                 model_cfg=head_cfg, input_channels=head_in, num_class=self.num_class,
@@ -157,8 +158,13 @@ class Detector3D(nn.Module):
         return loss, tb
 
     def post_process(self, batch: dict) -> dict:
+        """Sigmoid + NMS (`detector3d_template.post_processing:178-284`):
+        class-agnostic by default, `multi_classes_nms` / `class_specific_nms`
+        via POST_PROCESSING.NMS_CONFIG.NMS_TYPE (`model_nms_utils.py:28-108`)."""
         pp = as_cfg(self.model_cfg).POST_PROCESSING
         nms_cfg = pp.NMS_CONFIG
+        nms_type = nms_cfg.get('NMS_TYPE', 'nms_bev')
+        cls_probs = None
         if isinstance(self.dense_head, CenterHead):
             hm = self.dense_head.generate_predicted_boxes(batch)
             boxes, scores = hm['pred_boxes'], hm['pred_scores']
@@ -168,26 +174,27 @@ class Detector3D(nn.Module):
             probs = jax.nn.sigmoid(cls_preds)                    # (B, A, nc)
             scores_all = jnp.max(probs, axis=-1)
             labels_all = jnp.argmax(probs, axis=-1) + 1
-            K = min(nms_cfg.NMS_PRE_MAXSIZE * 2, scores_all.shape[1])
+            K = min(int(np.max(nms_cfg.NMS_PRE_MAXSIZE)) * 2, scores_all.shape[1])
             scores, sel = two_stage_topk(scores_all, K)
             boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
             labels = jnp.take_along_axis(labels_all, sel, axis=1)
             valid = jnp.ones_like(scores, bool)
+            if nms_type == 'multi_classes_nms':
+                cls_probs = jnp.take_along_axis(probs, sel[..., None], axis=1)
 
         valid = valid & (scores > pp.get('SCORE_THRESH', 0.1))
 
-        def per_sample(b, s, l, v):
-            if nms_cfg.get('NMS_TYPE', 'nms_bev') == 'circle_nms':
-                idx, keep = iou3d.circle_nms(
-                    b, s, nms_cfg.get('NMS_RADIUS', 1.0),
-                    pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
-                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
-            else:
-                idx, keep = iou3d.nms_bev(
-                    b, s, nms_cfg.NMS_THRESH, pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
-                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
-            return b[idx], s[idx] * keep, l[idx] * keep, keep
+        def per_sample(b, s, l, v, cp=None):
+            return model_nms.dispatch_nms(
+                b, s, l, v, nms_cfg, self.num_class, cls_probs=cp,
+                score_thresh=pp.get('SCORE_THRESH', 0.1)
+                if nms_type in ('multi_classes_nms', 'class_specific_nms') else None)
 
-        fb, fs, fl, fm = jax.vmap(per_sample)(boxes[..., :7], scores, labels, valid)
+        if cls_probs is not None:
+            fb, fs, fl, fm = jax.vmap(per_sample)(boxes[..., :7], scores,
+                                                  labels, valid, cls_probs)
+        else:
+            fb, fs, fl, fm = jax.vmap(per_sample)(boxes[..., :7], scores,
+                                                  labels, valid)
         return {'pred_boxes': fb, 'pred_scores': fs, 'pred_labels': fl,
                 'pred_mask': fm}

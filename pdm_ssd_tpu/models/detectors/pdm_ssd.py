@@ -17,8 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops import iou3d
 from ...utils.config import as_cfg
+from .. import model_nms
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.pdm_neck import PDMNeck
 from ..backbones_2d.pdm_neck_conv import PDMNeckConv
@@ -33,6 +33,7 @@ class PDMSSD(nn.Module):
     model_cfg: Any
     num_class: int
     dataset_cfg: Any
+    class_names: Any = None
 
     def setup(self):
         cfg = as_cfg(self.model_cfg)
@@ -76,7 +77,8 @@ class PDMSSD(nn.Module):
                 num_class=self.num_class,
                 grid_size=tuple(neck_cfg.BEV_SIZE),
                 point_cloud_range=tuple(pc_range),
-                voxel_size=tuple(neck_cfg.VOXEL_SIZE[:2]))
+                voxel_size=tuple(neck_cfg.VOXEL_SIZE[:2]),
+                class_names=tuple(self.class_names) if self.class_names else None)
         else:
             self.pdm_neck = None
             self.backbone_2d = None
@@ -176,19 +178,12 @@ class PDMSSD(nn.Module):
         thresh = pp.get('SCORE_THRESH', 0.1)
         valid = valid & (scores > thresh)
         nms_cfg = pp.NMS_CONFIG
+        nms_type = nms_cfg.get('NMS_TYPE', 'nms_bev')
 
         def per_sample(b, s, l, v):
-            if nms_cfg.get('NMS_TYPE', 'nms_bev') == 'circle_nms':
-                idx, keep = iou3d.circle_nms(
-                    b, s, nms_cfg.get('NMS_RADIUS', 1.0),
-                    pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
-                    post_maxsize=nms_cfg.NMS_POST_MAXSIZE, valid=v)
-            else:
-                idx, keep = iou3d.nms_bev(b, s, nms_cfg.NMS_THRESH,
-                                          pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
-                                          post_maxsize=nms_cfg.NMS_POST_MAXSIZE,
-                                          valid=v)
-            return b[idx], s[idx] * keep, l[idx] * keep, keep
+            return model_nms.dispatch_nms(
+                b, s, l, v, nms_cfg, self.num_class,
+                score_thresh=thresh if nms_type == 'class_specific_nms' else None)
 
         fb, fs, fl, fm = jax.vmap(per_sample)(boxes, scores, labels, valid)
         return {'pred_boxes': fb, 'pred_scores': fs, 'pred_labels': fl, 'pred_mask': fm}

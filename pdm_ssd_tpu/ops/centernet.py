@@ -166,7 +166,11 @@ def assign_center_targets(gt_boxes: jax.Array, gt_valid: jax.Array, num_classes:
     ret_boxes = ret_boxes.at[sl].set(jnp.where(ok[:, None], vals, 0.0))
     inds = inds.at[sl].set(jnp.where(ok, center_int[:, 1] * W + center_int[:, 0], 0))
     mask = mask.at[sl].set(ok.astype(jnp.int32))
-    return heatmap, ret_boxes, inds, mask
+    # raw (un-encoded) gt boxes per slot — the reference's `target_boxes_src`
+    # (`center_head.py:216-221`), needed by the IoU rectification losses
+    src = jnp.zeros((num_max_objs, code), jnp.float32)
+    src = src.at[sl].set(jnp.where(ok[:, None], gt_boxes, 0.0))
+    return heatmap, ret_boxes, inds, mask, src
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -246,3 +250,32 @@ def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
     if iou is not None:
         out['pred_iou'] = gather(iou)[..., 0]
     return out
+
+
+def decode_boxes_at_inds(preds: dict, inds: jax.Array, point_cloud_range,
+                         voxel_size, feature_map_stride, fmap_wh) -> jax.Array:
+    """Decode box7 at flat heatmap indices — the per-slot analog of the
+    reference `centernet_utils.decode_bbox_from_pred_dicts` used by the
+    CenterHead IoU losses (`center_head.py:260-266`).
+
+    preds: dict of NHWC tensors ('center', 'center_z', 'dim', 'rot').
+    inds: (B, K) flat y*W+x indices. Returns (B, K, 7).
+    """
+    W, H = fmap_wh
+
+    def gather(t):  # (B, H, W, C) -> (B, K, C)
+        B, Hh, Ww, C = t.shape
+        flat = t.reshape(B, Hh * Ww, C)
+        return jnp.take_along_axis(flat, inds[..., None], axis=1)
+
+    center = gather(preds['center'])
+    center_z = gather(preds['center_z'])[..., 0]
+    dim = jnp.exp(jnp.clip(gather(preds['dim']), -5.0, 5.0))
+    rot = gather(preds['rot'])
+    angle = jnp.arctan2(rot[..., 1], rot[..., 0])
+    xs = (inds % W).astype(jnp.float32) + center[..., 0]
+    ys = (inds // W).astype(jnp.float32) + center[..., 1]
+    xs = xs * feature_map_stride * voxel_size[0] + point_cloud_range[0]
+    ys = ys * feature_map_stride * voxel_size[1] + point_cloud_range[1]
+    return jnp.concatenate([xs[..., None], ys[..., None], center_z[..., None],
+                            dim, angle[..., None]], axis=-1)

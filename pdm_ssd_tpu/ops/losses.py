@@ -125,3 +125,34 @@ def corner_loss_lidar(pred_boxes: jax.Array, gt_boxes: jax.Array) -> jax.Array:
         jnp.linalg.norm(pred_corners - gt_corners_flip, axis=-1),
     )  # (N, 8)
     return jnp.mean(smooth_l1(dist, beta=1.0), axis=1)
+
+
+def centerhead_iou_loss(iou_preds: jax.Array, decoded_boxes: jax.Array,
+                        mask: jax.Array, gt_boxes_src: jax.Array) -> jax.Array:
+    """IoU-prediction regression (`loss_utils.calculate_iou_loss_centerhead`,
+    `pcdet/utils/loss_utils.py:610-634`): L1 between the predicted IoU channel
+    (already gathered at target inds, (B, K)) and the actual aligned 3D IoU of
+    the decoded boxes vs the raw gt boxes, remapped [0,1] -> [-1,1].
+
+    decoded_boxes/gt_boxes_src: (B, K, 7); mask: (B, K)."""
+    from . import iou3d
+    B, K = iou_preds.shape
+    flat_p = jax.lax.stop_gradient(decoded_boxes.reshape(B * K, 7))
+    flat_g = gt_boxes_src[..., :7].reshape(B * K, 7)
+    iou_target = iou3d.boxes_aligned_iou3d(flat_p, flat_g).reshape(B, K)
+    iou_target = iou_target * 2.0 - 1.0
+    m = mask.astype(jnp.float32)
+    err = jnp.abs(iou_preds - jax.lax.stop_gradient(iou_target)) * m
+    return jnp.sum(err) / jnp.clip(jnp.sum(m), 1e-4)
+
+
+def centerhead_iou_reg_loss(decoded_boxes: jax.Array, mask: jax.Array,
+                            gt_boxes_src: jax.Array) -> jax.Array:
+    """DIoU box regression (`loss_utils.calculate_iou_reg_loss_centerhead`,
+    `pcdet/utils/loss_utils.py:637-648`): mean (1 - DIoU) over valid slots."""
+    from . import iou3d
+    B, K, _ = decoded_boxes.shape
+    diou = iou3d.bbox3d_overlaps_diou(decoded_boxes.reshape(B * K, 7),
+                                      gt_boxes_src[..., :7].reshape(B * K, 7))
+    m = mask.astype(jnp.float32).reshape(B * K)
+    return jnp.sum((1.0 - diou) * m) / jnp.clip(jnp.sum(m), 1e-4)

@@ -93,7 +93,7 @@ def test_gaussian_heatmap_targets():
     gt[0] = [10.0, 0.0, -1.0, 4.0, 2.0, 1.5, 0.3, 1]
     gt[1] = [30.0, 10.0, -1.0, 0.8, 0.7, 1.7, 0.0, 2]
     valid = np.array([True, True, False])
-    hm, ret_boxes, inds, mask = centernet.assign_center_targets(
+    hm, ret_boxes, inds, mask, _src = centernet.assign_center_targets(
         jnp.asarray(gt), jnp.asarray(valid), num_classes=3,
         feature_map_size=(176, 200), feature_map_stride=1,
         voxel_size=(0.4, 0.4), point_cloud_range=(0., -40., -3., 70.4, 40., 1.),

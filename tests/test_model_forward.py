@@ -131,7 +131,7 @@ def test_forward_shapes(model_and_vars):
     assert out['point_box_preds'].shape == (2, 16, 8)
     assert out['spatial_features'].shape == (2, 50, 44, 2 * 9)
     assert out['spatial_features_2d'].shape == (2, 50, 44, 16)
-    assert out['center_head_preds']['hm'].shape == (2, 50, 44, 3)
+    assert out['center_head_preds'][0]['hm'].shape == (2, 50, 44, 3)
 
 
 def test_training_loss_finite(model_and_vars):

@@ -141,7 +141,7 @@ def test_center_head_target_parity(rng):
             feature_map_stride=1, num_max_objs=M, gaussian_overlap=0.1,
             min_radius=2)
 
-    hm, boxes, inds, mask = centernet.assign_center_targets(
+    hm, boxes, inds, mask, _src = centernet.assign_center_targets(
         gt, valid, num_classes=3, feature_map_size=(W, H),
         feature_map_stride=1, voxel_size=voxel_size, point_cloud_range=pc_range,
         num_max_objs=M, gaussian_overlap=0.1, min_radius=2)
