@@ -90,6 +90,77 @@ class DataAugmentor(object):
         data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
         return data_dict
 
+    def random_local_translation(self, data_dict=None, config=None):
+        """Per-object translation (`data_augmentor.py:158-175`)."""
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        axes = [{'x': 0, 'y': 1, 'z': 2}[a] for a in config.ALONG_AXIS_LIST]
+        gt_boxes, points = augmentor_utils.local_translation(
+            data_dict['gt_boxes'], data_dict['points'],
+            config.LOCAL_TRANSLATION_RANGE, axes=tuple(axes))
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        """Per-object rotation (`data_augmentor.py:176-192`)."""
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config.LOCAL_ROT_ANGLE
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt_boxes, points = augmentor_utils.local_rotation(
+            data_dict['gt_boxes'], data_dict['points'], rot_range)
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        """Per-object scaling (`data_augmentor.py:193-206`)."""
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        gt_boxes, points = augmentor_utils.local_scaling(
+            data_dict['gt_boxes'], data_dict['points'], config.LOCAL_SCALE_RANGE)
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        """Scene-level frustum dropout (`data_augmentor.py:207-225`)."""
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
+        for direction in config.DIRECTION:
+            assert direction in ('top', 'bottom', 'left', 'right')
+            gt_boxes, points = augmentor_utils.global_frustum_dropout(
+                gt_boxes, points, config.INTENSITY_RANGE, direction)
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        """Per-object frustum dropout (`data_augmentor.py:226-244`)."""
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
+        for direction in config.DIRECTION:
+            assert direction in ('top', 'bottom', 'left', 'right')
+            gt_boxes, points = augmentor_utils.local_frustum_dropout(
+                gt_boxes, points, config.INTENSITY_RANGE, direction)
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict=None, config=None):
+        """SE-SSD pyramid dropout/sparsify/swap (`data_augmentor.py:245-266`)."""
+        if data_dict is None:
+            return partial(self.random_local_pyramid_aug, config=config)
+        gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_dropout(
+            gt_boxes, points, config.DROP_PROB)
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_sparsify(
+            gt_boxes, points, config.SPARSIFY_PROB, config.SPARSIFY_MAX_NUM,
+            pyramids)
+        gt_boxes, points = augmentor_utils.local_pyramid_swap(
+            gt_boxes, points, config.SWAP_PROB, config.SWAP_MAX_NUM, pyramids)
+        data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        return data_dict
+
     def forward(self, data_dict):
         for cur_augmentor in self.data_augmentor_queue:
             data_dict = cur_augmentor(data_dict=data_dict)

@@ -116,22 +116,41 @@ class PDMNeck(nn.Module):
                                 preferred_element_type=jnp.float32)
         cell_feats = cell_feats * gauss[..., None]
 
-        # validity + flat scatter index into (H*W*Dz) (+1 dump row)
+        # multi-center fusion: scatter-add with the z axis FOLDED INTO CHANNELS.
+        # XLA's TPU scatter lowering costs ~O(target_rows + updates) (sort
+        # based), so shrinking the target from H*W*Dz rows to H*W rows and the
+        # update count by the Gz factor cuts the fuse step ~8x (43 -> ~6 ms at
+        # the KITTI point-config shapes).
         ix, iy, iz = cell_idx[..., 0], cell_idx[..., 1], cell_idx[..., 2]
         ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < Dz)
         if 'sa_mask' in batch and batch['sa_mask'] is not None:
             ok = ok & batch['sa_mask'][lvl][:, :, None]
-        ncells = H * W * Dz
-        flat = jnp.where(ok, (iy * W + ix) * Dz + iz, ncells)      # (B, M, G3)
 
-        def scatter_one(flat_b, feats_b, gauss_b):
-            grid = jnp.zeros((ncells + 1, Cout + 1), jnp.float32)
-            payload = jnp.concatenate([feats_b, gauss_b[..., None]], axis=-1)
-            grid = grid.at[flat_b.reshape(-1)].add(payload.reshape(-1, Cout + 1))
-            return grid[:ncells]
+        payload = jnp.concatenate([cell_feats, gauss[..., None]], axis=-1)
+        Cp = Cout + 1
+        Gxy, Gz = gx * gy, gz
+        # (B, M, Gxy, Gz, ...) split: meshgrid was (x, y, z) row-major in z
+        iz_s = iz.reshape(B, M, Gxy, Gz)
+        ok_s = ok.reshape(B, M, Gxy, Gz)
+        pay_s = payload.reshape(B, M, Gxy, Gz, Cp)
+        z_iota = jnp.arange(Dz, dtype=jnp.int32)
+        # combine the Gz z-offsets into (Dz * Cp) channels before scattering
+        rows = 0.0
+        for g in range(Gz):
+            zoh = (iz_s[..., g, None] == z_iota) & ok_s[..., g, None]  # (B,M,Gxy,Dz)
+            rows = rows + zoh[..., None] * pay_s[:, :, :, g, None, :]
+        rows = rows.reshape(B, M * Gxy, Dz * Cp)
 
-        grid = jax.vmap(scatter_one)(flat, cell_feats, gauss)      # (B, HWDz, Cout+1)
-        grid = grid.reshape(B, H, W, Dz * (Cout + 1))
+        ok_xy = jnp.any(ok_s, axis=-1)                              # (B, M, Gxy)
+        n_xy = H * W
+        flat = jnp.where(ok_xy, iy.reshape(B, M, Gxy, Gz)[..., 0] * W
+                         + ix.reshape(B, M, Gxy, Gz)[..., 0], n_xy)
+        boff = (jnp.arange(B, dtype=jnp.int32) * (n_xy + 1))[:, None]
+        fi = (flat.reshape(B, M * Gxy) + boff).reshape(-1)
+        grid = jnp.zeros((B * (n_xy + 1), Dz * Cp), jnp.float32)
+        grid = grid.at[fi].add(rows.reshape(-1, Dz * Cp))
+        grid = grid.reshape(B, n_xy + 1, Dz * Cp)[:, :n_xy]
+        grid = grid.reshape(B, H, W, Dz * Cp)
         # height compression = fold z into channels (height_compression.py:10-26)
         batch['spatial_features'] = grid
         batch['spatial_features_stride'] = 1

@@ -99,9 +99,15 @@ class SAModuleMSGFused(nn.Module):
             new_xyz = dispatch.gather_operation(xyz, fps_idx)
 
         h1 = [int(m[0]) for m in self.mlps]
+        # the first Dense (C -> H1) commutes with grouping (pure row selection):
+        # apply it BEFORE the table only when it shrinks the gathered bytes
+        # (C > H1); for raw narrow inputs the features ride inside the bucket
+        # table and the Dense runs on the grouped (B, M, K, C) tensor.
+        C = 0 if features is None else features.shape[-1]
+        pre_transform = C > 8  # narrow raw payloads ride the table directly
         payload = None
         feat_slices = None
-        if features is not None:
+        if features is not None and pre_transform:
             pres = [nn.Dense(h1[i], use_bias=False, name=f'pre_feat_{i}')(features)
                     for i in range(len(self.mlps))]
             payload = jnp.concatenate(pres, axis=-1)
@@ -109,6 +115,8 @@ class SAModuleMSGFused(nn.Module):
             for h in h1:
                 offs.append(offs[-1] + h)
             feat_slices = [(offs[i], offs[i + 1]) for i in range(len(h1))]
+        elif features is not None:
+            payload = features
 
         pr = self.pc_range
         assert pr is not None, 'fused SA needs the BEV pc_range'
@@ -119,7 +127,12 @@ class SAModuleMSGFused(nn.Module):
         assert self.use_xyz or features is not None
         branch_feats = []
         for i, (rel, gfeat, _hit) in enumerate(outs):
-            h = gfeat if features is not None else 0.0
+            h = 0.0
+            if features is not None:
+                if pre_transform:
+                    h = gfeat
+                else:
+                    h = nn.Dense(h1[i], use_bias=False, name=f'pre_feat_{i}')(gfeat)
             if self.use_xyz:
                 h = h + nn.Dense(h1[i], use_bias=False, name=f'pre_xyz_{i}')(rel)
             h = nn.BatchNorm(use_running_average=not training, momentum=0.9,

@@ -62,10 +62,13 @@ def grid_dims(pc_range, cell_size: float) -> tuple:
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def build_payload_table(xyz: jax.Array, payload: jax.Array, cell_size: float,
                         grid_wh: tuple, cap: int, pc_min) -> jax.Array:
-    """Bucket points into cells; each slot carries [x, y, z, valid, payload...].
+    """Bucket points into cells; each slot carries
+    [x, y, z, valid, point_idx, payload...].
 
-    xyz: (B, N, 3); payload: (B, N, C) or None.
-    Returns (B, (n_cells+1)*cap, 4+C) f32; slots beyond a cell's population
+    xyz: (B, N, 3); payload: (B, N, C) or None (keep C tiny — every window
+    fetch reads 9*cap slots per center; wide payloads go through the
+    select-then-gather path instead, see `fused_query_group`).
+    Returns (B, (n_cells+1)*cap, 5+C) f32; slots beyond a cell's population
     (or beyond cap) have valid=0.
     """
     B, N, _ = xyz.shape
@@ -84,18 +87,30 @@ def build_payload_table(xyz: jax.Array, payload: jax.Array, cell_size: float,
     slot = jnp.where(rank < cap, cell_sorted * cap + rank, (n_cells + 1) * cap)
 
     rows = [jnp.take_along_axis(xyz, order[..., None], axis=1),
-            jnp.ones((B, N, 1), jnp.float32)]
+            jnp.ones((B, N, 1), jnp.float32),
+            order[..., None].astype(jnp.float32)]
     if payload is not None:
         rows.append(jnp.take_along_axis(payload, order[..., None], axis=1))
-    rows = jnp.concatenate(rows, axis=-1)  # (B, N, 4+C) in sorted order
+    rows = jnp.concatenate(rows, axis=-1)  # (B, N, 5+C) in sorted order
 
     D = rows.shape[-1]
-
-    def scatter_one(slots, data):
-        table = jnp.zeros(((n_cells + 1) * cap, D), rows.dtype)
-        return table.at[slots].set(data, mode='drop')
-
-    return jax.vmap(scatter_one)(slot, rows)
+    # scatter with the SLOT axis folded into channels: XLA's TPU scatter
+    # lowering costs ~O(target_rows + updates), so targeting n_cells rows of
+    # cap*D channels instead of n_cells*cap rows is ~cap times cheaper.
+    # Each point contributes a one-hot-slotted row; same-cell points merge by
+    # addition into disjoint channel blocks.
+    in_cap = rank < cap
+    slot_oh = ((rank[..., None] == jnp.arange(cap)) & in_cap[..., None]
+               ).astype(rows.dtype)                      # (B, N, cap)
+    wide = (slot_oh[..., None] * rows[..., None, :]).reshape(B, N, cap * D)
+    cell_t = jnp.where(in_cap, cell_sorted, n_cells)     # (B, N)
+    boff = (jnp.arange(B, dtype=jnp.int32) * (n_cells + 1))[:, None]
+    fi = (cell_t + boff).reshape(-1)
+    table = jnp.zeros((B * (n_cells + 1), cap * D), rows.dtype)
+    table = table.at[fi].add(wide.reshape(B * N, cap * D))
+    table = table.reshape(B, n_cells + 1, cap * D)
+    table = table.at[:, n_cells].set(0.0)  # dump row: drop out-of-range points
+    return table.reshape(B, (n_cells + 1) * cap, D)
 
 
 def _tri(n: int, strict: bool) -> jax.Array:
@@ -129,12 +144,14 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
                  cap: int, pc_min, feat_slices: Sequence[tuple] | None = None):
     """Candidate window fetch + per-branch selection/extraction.
 
-    table: from `build_payload_table`, (B, (n_cells+1)*cap, 4+C).
+    table: from `build_payload_table`, (B, (n_cells+1)*cap, 5+C).
     new_xyz: (B, M, 3) ball centers.
     feat_slices: per branch, (start, stop) channel range into the payload C
         (None = all payload channels for every branch).
     Returns: list over branches of (grouped_rel_xyz (B,M,K,3) f32,
-        grouped_feats (B,M,K,Cb) f32, hit_any (B,M) bool).
+        grouped_feats (B,M,K,Cb) f32 | None if C==0,
+        grouped_idx (B,M,K) int32 point indices (0 where no hit),
+        hit_any (B,M) bool).
     """
     B = table.shape[0]
     M = new_xyz.shape[1]
@@ -161,6 +178,10 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
     rel = window[..., :3] - new_xyz[:, :, None, :]       # (B, M, 9c, 3) f32
     valid = window[..., 3] > 0.5                         # (B, M, 9c)
     d2 = jnp.sum(rel * rel, axis=-1)
+    # split point-idx for exact bf16 extraction: idx = hi*256 + lo, both <= 256
+    idx_ch = window[..., 4]
+    idx_hi = jnp.floor(idx_ch / 256.0).astype(jnp.bfloat16)
+    idx_lo = jnp.mod(idx_ch, 256.0).astype(jnp.bfloat16)
 
     rel_bf = rel.astype(jnp.bfloat16)
     outs = []
@@ -179,26 +200,75 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
         dn = (((3,), (2,)), ((0, 1), (0, 1)))
         g_rel = jax.lax.dot_general(onehot, rel_bf, dn,
                                     preferred_element_type=jnp.float32)
-        if feat_slices is not None and feat_slices[bi] is not None:
-            s0, s1 = feat_slices[bi]
-            fb = window[..., 4 + s0:4 + s1].astype(jnp.bfloat16)
+        ghl = jax.lax.dot_general(
+            onehot, jnp.stack([idx_hi, idx_lo], axis=-1), dn,
+            preferred_element_type=jnp.float32)          # (B, M, K, 2)
+        g_idx = (ghl[..., 0] * 256 + ghl[..., 1]).astype(jnp.int32)
+        if D > 5:
+            if feat_slices is not None and feat_slices[bi] is not None:
+                s0, s1 = feat_slices[bi]
+                fb = window[..., 5 + s0:5 + s1].astype(jnp.bfloat16)
+            else:
+                fb = window[..., 5:].astype(jnp.bfloat16)
+            g_feat = jax.lax.dot_general(onehot, fb, dn,
+                                         preferred_element_type=jnp.float32)
         else:
-            fb = window[..., 4:].astype(jnp.bfloat16)
-        g_feat = jax.lax.dot_general(onehot, fb, dn,
-                                     preferred_element_type=jnp.float32)
-        outs.append((g_rel, g_feat, hits[..., 0] > 0))
+            g_feat = None
+        outs.append((g_rel, g_feat, g_idx, hits[..., 0] > 0))
     return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows_mm(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather (B, N, C) by (B, M, K) -> (B, M, K, C) with a matmul VJP.
+
+    Forward: `take_along_axis` (~6 ns/row on this chip — row-count bound).
+    Backward: XLA's scatter-add VJP runs at ~0.2 Gelem/s on TPU; we replace it
+    with a fused one-hot matmul (bf16 operands, f32 accumulation) that the MXU
+    executes 1-2 orders of magnitude faster at SA-level shapes.
+    """
+    B, M, K = idx.shape
+    flat = idx.reshape(B, M * K)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(B, M, K, features.shape[-1])
+
+
+def _gather_rows_fwd(features, idx):
+    return gather_rows_mm(features, idx), (idx, features.shape)
+
+
+def _gather_rows_bwd(res, g):
+    idx, fshape = res
+    B, N, C = fshape
+    M, K = idx.shape[1], idx.shape[2]
+    gf = g.reshape(B, M * K, C).astype(jnp.bfloat16)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    onehot = (idx.reshape(B, 1, M * K) == pos[None, :, None]).astype(jnp.bfloat16)
+    d_feat = jax.lax.dot_general(onehot, gf, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    return d_feat.astype(g.dtype), None
+
+
+gather_rows_mm.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def fused_query_group(radii: Sequence[float], nsamples: Sequence[int],
                       xyz: jax.Array, features: jax.Array | None,
                       new_xyz: jax.Array, pc_range,
                       cap: int = 32, cell_size: float | None = None,
-                      feat_slices: Sequence[tuple] | None = None):
+                      feat_slices: Sequence[tuple] | None = None,
+                      carry_cap_channels: int = 8):
     """One-call fused multi-branch query+group for one SA level.
 
     xyz (B, N, 3), features (B, N, C) or None, new_xyz (B, M, 3).
     pc_range: (xmin, ymin, xmax, ymax) BEV extent.
+
+    Feature routing: narrow payloads (C <= carry_cap_channels) ride inside the
+    bucket table and come out of the extraction matmul; wide payloads would
+    multiply the window-fetch bytes by ~(9*cap/K), so they are row-gathered
+    AFTER selection using the extracted point indices (row-count bound,
+    matmul-VJP for training).
+
     Returns list over branches of (rel_xyz (B,M,K,3), feats (B,M,K,Cb)|None,
     hit_any (B,M)).
     """
@@ -206,9 +276,24 @@ def fused_query_group(radii: Sequence[float], nsamples: Sequence[int],
     assert cs >= max(radii), (cs, radii)
     gw = grid_dims(pc_range, cs)
     pc_min = (float(pc_range[0]) - cs, float(pc_range[1]) - cs)
-    table = build_payload_table(xyz, features, cs, gw, cap, pc_min)
-    outs = window_group(table, new_xyz, radii, nsamples, cs, gw, cap, pc_min,
-                        feat_slices=feat_slices)
-    if features is None:
-        outs = [(rel, None, hit) for rel, _f, hit in outs]
+    carry = features is not None and features.shape[-1] <= carry_cap_channels
+    table = build_payload_table(xyz, features if carry else None,
+                                cs, gw, cap, pc_min)
+    wouts = window_group(table, new_xyz, radii, nsamples, cs, gw, cap, pc_min,
+                         feat_slices=feat_slices if carry else None)
+    outs = []
+    for bi, (rel, g_feat, g_idx, hit) in enumerate(wouts):
+        if features is None:
+            outs.append((rel, None, hit))
+            continue
+        if carry:
+            outs.append((rel, g_feat, hit))
+            continue
+        f = features
+        if feat_slices is not None and feat_slices[bi] is not None:
+            s0, s1 = feat_slices[bi]
+            f = features[..., s0:s1]
+        gf = gather_rows_mm(f, g_idx)
+        gf = jnp.where(hit[..., None, None], gf, 0.0)
+        outs.append((rel, gf, hit))
     return outs

@@ -115,3 +115,148 @@ def test_sample_points_semantics(rng):
     assert out2.shape == (800, 4)
     uniq = np.unique(out2, axis=0)
     assert len(uniq) == 500
+
+
+# ---- local / frustum / pyramid augmentations (round 2) ----------------------
+from pdm_ssd_tpu.datasets.augmentor import augmentor_utils  # noqa: E402
+
+def _scene(rng, n_boxes=3, n_pts=400):
+    boxes = np.zeros((n_boxes, 7), np.float32)
+    boxes[:, 0] = rng.uniform(10, 50, n_boxes)
+    boxes[:, 1] = rng.uniform(-20, 20, n_boxes)
+    boxes[:, 2] = -1.0
+    boxes[:, 3:6] = [3.9, 1.6, 1.56]
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_boxes)
+    pts = []
+    for b in boxes:
+        local = rng.uniform(-0.45, 0.45, (60, 3)) * b[3:6]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        gx = local[:, 0] * c - local[:, 1] * s + b[0]
+        gy = local[:, 0] * s + local[:, 1] * c + b[1]
+        pts.append(np.stack([gx, gy, local[:, 2] + b[2], np.ones(60)], 1))
+    bg = np.stack([rng.uniform(0, 70, n_pts), rng.uniform(-40, 40, n_pts),
+                   rng.uniform(-2, 0.5, n_pts), np.ones(n_pts)], 1)
+    return boxes, np.concatenate(pts + [bg]).astype(np.float32)
+
+
+def test_local_translation_moves_points_with_boxes():
+    rng = np.random.RandomState(0)
+    np.random.seed(0)
+    boxes, pts = _scene(rng)
+    owner0, _ = augmentor_utils.points_box_assignment(pts, boxes)
+    b2, p2 = augmentor_utils.local_translation(boxes.copy(), pts.copy(), [0.5, 1.5])
+    # box points moved with their box: membership preserved
+    owner1, _ = augmentor_utils.points_box_assignment(p2, b2)
+    assert (owner1[:180] == owner0[:180]).mean() > 0.95
+    # boxes actually moved
+    assert np.abs(b2[:, :3] - boxes[:, :3]).max() >= 0.5
+
+
+def test_local_rotation_preserves_membership():
+    rng = np.random.RandomState(1)
+    np.random.seed(1)
+    boxes, pts = _scene(rng)
+    b2, p2 = augmentor_utils.local_rotation(boxes.copy(), pts.copy(), [0.3, 0.6])
+    owner1, _ = augmentor_utils.points_box_assignment(p2, b2)
+    owner0, _ = augmentor_utils.points_box_assignment(pts, boxes)
+    assert (owner1[:180] == owner0[:180]).mean() > 0.95
+    assert np.abs(b2[:, 6] - boxes[:, 6]).min() >= 0.3 - 1e-6
+
+
+def test_local_scaling_scales_dims():
+    rng = np.random.RandomState(2)
+    np.random.seed(2)
+    boxes, pts = _scene(rng)
+    b2, p2 = augmentor_utils.local_scaling(boxes.copy(), pts.copy(), [1.1, 1.2])
+    assert (b2[:, 3:6] >= boxes[:, 3:6] * 1.1 - 1e-5).all()
+    owner1, _ = augmentor_utils.points_box_assignment(p2, b2)
+    owner0, _ = augmentor_utils.points_box_assignment(pts, boxes)
+    assert (owner1[:180] == owner0[:180]).mean() > 0.9
+
+
+def test_global_frustum_dropout_drops_top():
+    rng = np.random.RandomState(3)
+    np.random.seed(3)
+    boxes, pts = _scene(rng)
+    b2, p2 = augmentor_utils.global_frustum_dropout(
+        boxes.copy(), pts.copy(), [0.2, 0.2], 'top')
+    assert len(p2) < len(pts)
+    zmax, zmin = pts[:, 2].max(), pts[:, 2].min()
+    assert p2[:, 2].max() < zmax - 0.2 * (zmax - zmin) + 1e-6
+
+
+def test_local_frustum_dropout_only_in_box():
+    rng = np.random.RandomState(4)
+    np.random.seed(4)
+    boxes, pts = _scene(rng)
+    owner0, _ = augmentor_utils.points_box_assignment(pts, boxes)
+    n_bg = (owner0 == -1).sum()
+    b2, p2 = augmentor_utils.local_frustum_dropout(
+        boxes.copy(), pts.copy(), [0.4, 0.5], 'top')
+    owner1, _ = augmentor_utils.points_box_assignment(p2, b2)
+    assert (owner1 == -1).sum() == n_bg         # background untouched
+    assert len(p2) < len(pts)                    # some box points dropped
+
+
+def test_pyramid_dropout_and_sparsify():
+    rng = np.random.RandomState(5)
+    np.random.seed(5)
+    boxes, pts = _scene(rng)
+    b2, p2, pyr = augmentor_utils.local_pyramid_dropout(
+        boxes.copy(), pts.copy(), dropout_prob=1.0)
+    assert len(p2) < len(pts)
+    assert pyr.shape == (3, 6, 5, 3)
+    b3, p3, _ = augmentor_utils.local_pyramid_sparsify(
+        boxes.copy(), pts.copy(), prob=1.0, max_num_pts=2)
+    assert len(p3) < len(pts)
+
+
+def test_pyramid_swap_runs_and_keeps_counts_sane():
+    rng = np.random.RandomState(6)
+    np.random.seed(6)
+    boxes, pts = _scene(rng)
+    b2, p2 = augmentor_utils.local_pyramid_swap(
+        boxes.copy(), pts.copy(), prob=1.0, max_num_pts=50)
+    assert np.isfinite(p2).all()
+    assert len(p2) <= len(pts) + 3 * 50
+
+
+def test_points_in_pyramids_mask_is_inside_box():
+    rng = np.random.RandomState(7)
+    np.random.seed(7)
+    boxes, pts = _scene(rng, n_boxes=1)
+    pyr = augmentor_utils.get_pyramids(boxes)        # (1, 6, 5, 3)
+    masks = augmentor_utils.points_in_pyramids_mask(pts, pyr.reshape(-1, 5, 3))
+    owner, _ = augmentor_utils.points_box_assignment(pts, boxes)
+    in_box = owner == 0
+    # every box point belongs to exactly one of the 6 pyramids (up to boundary)
+    counts = masks[in_box].sum(1)
+    assert (counts >= 1).mean() > 0.98
+    # non-box points far away are in no pyramid
+    far = np.linalg.norm(pts[:, :2] - boxes[0, :2], axis=1) > 5
+    assert masks[far].sum() == 0
+
+
+def test_data_augmentor_queue_with_new_augs():
+    from pdm_ssd_tpu.datasets.augmentor.data_augmentor import DataAugmentor
+    from pdm_ssd_tpu.utils.config import CfgNode
+    np.random.seed(8)
+    cfgs = [
+        CfgNode({'NAME': 'random_local_translation', 'ALONG_AXIS_LIST': ['x', 'y'],
+                 'LOCAL_TRANSLATION_RANGE': [-0.2, 0.2]}),
+        CfgNode({'NAME': 'random_local_rotation', 'LOCAL_ROT_ANGLE': [-0.15, 0.15]}),
+        CfgNode({'NAME': 'random_local_scaling', 'LOCAL_SCALE_RANGE': [0.95, 1.05]}),
+        CfgNode({'NAME': 'random_world_frustum_dropout',
+                 'DIRECTION': ['top'], 'INTENSITY_RANGE': [0.05, 0.1]}),
+        CfgNode({'NAME': 'random_local_frustum_dropout',
+                 'DIRECTION': ['top'], 'INTENSITY_RANGE': [0.05, 0.1]}),
+        CfgNode({'NAME': 'random_local_pyramid_aug', 'DROP_PROB': 0.2,
+                 'SPARSIFY_PROB': 0.2, 'SPARSIFY_MAX_NUM': 50,
+                 'SWAP_PROB': 0.2, 'SWAP_MAX_NUM': 50}),
+    ]
+    aug = DataAugmentor(root_path=None, augmentor_configs=cfgs, class_names=['Car'])
+    rng = np.random.RandomState(8)
+    boxes, pts = _scene(rng)
+    out = aug.forward({'gt_boxes': boxes, 'points': pts})
+    assert out['gt_boxes'].shape[1] == 7
+    assert np.isfinite(out['points']).all()
