@@ -121,14 +121,20 @@ class NuScenesDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        try:
-            from nuscenes.nuscenes import NuScenes  # noqa: F401
-        except ImportError:
-            # devkit absent (baked TPU image): report lidar-frame recall
-            from ..custom.custom_dataset import CustomDataset
-            self.custom_infos = [
-                {'annos': {'gt_boxes_lidar': info.get('gt_boxes', np.zeros((0, 7)))}}
-                for info in self.infos]
-            return CustomDataset.evaluation(self, det_annos, class_names, **kwargs)
-        raise NotImplementedError(
-            'official nuscenes eval: use tools with the devkit installed')
+        """nuScenes detection metrics (mAP / TP errors / NDS) via the
+        devkit-free protocol implementation (`nuscenes_eval.py`); the
+        reference defers to the nuscenes-devkit
+        (`pcdet/datasets/nuscenes/nuscenes_dataset.py`), absent here."""
+        from .nuscenes_eval import evaluate_nuscenes
+        gt_annos = []
+        for info in self.infos:
+            names = np.asarray(info.get('gt_names', np.zeros(0, dtype='<U16')))
+            boxes = np.asarray(info.get('gt_boxes', np.zeros((0, 7))))
+            gt_annos.append({'name': names, 'boxes_3d': boxes})
+        preds = []
+        for a in det_annos:
+            preds.append({'name': np.asarray(a.get('name', [])),
+                          'boxes_3d': np.asarray(a.get(
+                              'boxes_3d', a.get('boxes_lidar', np.zeros((0, 7))))),
+                          'score': np.asarray(a.get('score', []))})
+        return evaluate_nuscenes(gt_annos, preds, list(class_names))

@@ -78,11 +78,17 @@ class ONCEDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        from ..custom.custom_dataset import CustomDataset
-        self.custom_infos = [
-            {'annos': {'gt_boxes_lidar': info.get('annos', {}).get(
-                'boxes_3d', np.zeros((0, 7)))}}
-            for info in self.once_infos]
-        dets = [{'boxes_lidar': a.get('boxes_3d', a.get('boxes_lidar'))}
-                for a in det_annos]
-        return CustomDataset.evaluation(self, dets, class_names, **kwargs)
+        """Official ONCE AP via the vectorized in-tree evaluator
+        (`datasets/once/once_eval.py`, protocol parity with the reference
+        `once_eval/evaluation.py:26` — see tests/test_once_eval.py)."""
+        from .once_eval import get_evaluation_results
+        gt_annos = []
+        for info in self.once_infos:
+            annos = info.get('annos', {})
+            gt_annos.append({
+                'name': np.asarray(annos.get('name', np.zeros(0, dtype='<U16'))),
+                'boxes_3d': np.asarray(annos.get('boxes_3d', np.zeros((0, 7)))),
+            })
+        ret_str, ret_dict = get_evaluation_results(gt_annos, det_annos,
+                                                   list(class_names))
+        return ret_str, ret_dict

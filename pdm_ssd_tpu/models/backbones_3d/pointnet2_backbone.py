@@ -67,36 +67,27 @@ class SAModuleMSG(nn.Module):
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
-class SAModuleMSGFused(nn.Module):
-    """MXU-fused set abstraction: grid-bucketed query + one-hot-matmul
-    grouping (`ops/sa_fused.py`) with the first shared-MLP layer folded in
-    front of the bucket table (exact by linearity: Dense([rel_xyz; feat]) =
-    Dense_xyz(rel_xyz) + Dense_feat(feat), bias-free because BN follows —
-    reference stack `pointnet2_modules.py:90-97`).
+class SAGroupMLP(nn.Module):
+    """Grouping + shared-MLP + max-pool around EXTERNAL centers — the fused
+    aggregation core shared by `SAModuleMSGFused` (which adds sampling) and
+    `VoxelSetAbstraction` (keypoints as centers; reference analog
+    `pointnet2_stack_modules.build_local_aggregation_module`).
 
-    Numerically equivalent to `SAModuleMSG` up to the documented selection
-    semantics of `ops/sa_fused.py` (bucket candidate order, cap drops,
-    zero rows for empty balls) — see tests/test_sa_fused.py and
-    tests/test_pointnet2_fused_module.py.
+    MXU-fused via `ops/sa_fused.py`; the first shared-MLP Dense is split by
+    linearity (Dense([rel_xyz; feat]) = Dense_xyz(rel) + Dense_feat(feat),
+    bias-free because BN follows — reference stack
+    `pointnet2_modules.py:90-97`).
     """
-    npoint: int
     radii: Sequence[float]
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
-    sample_method: str = 'fps'
     pc_range: Sequence[float] | None = None
     bucket_cap: int = 32
 
     @nn.compact
-    def __call__(self, xyz, features, training: bool = False):
+    def __call__(self, xyz, features, new_xyz, training: bool = False):
         from ...ops import sa_fused
-
-        if self.sample_method == 'random':
-            new_xyz = xyz[:, :self.npoint]
-        else:
-            fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
-            new_xyz = dispatch.gather_operation(xyz, fps_idx)
 
         h1 = [int(m[0]) for m in self.mlps]
         # the first Dense (C -> H1) commutes with grouping (pure row selection):
@@ -142,7 +133,38 @@ class SAModuleMSGFused(nn.Module):
             if rest:
                 h = SharedMLP(rest, name=f'mlp_rest_{i}')(h, training=training)
             branch_feats.append(jnp.max(h, axis=2))
-        return new_xyz, jnp.concatenate(branch_feats, axis=-1)
+        return jnp.concatenate(branch_feats, axis=-1)
+
+
+class SAModuleMSGFused(nn.Module):
+    """Sampling + `SAGroupMLP`: the fused drop-in for `SAModuleMSG`.
+
+    Numerically equivalent to `SAModuleMSG` up to the documented selection
+    semantics of `ops/sa_fused.py` (bucket candidate order, cap drops,
+    zero rows for empty balls) — see tests/test_sa_fused.py and
+    tests/test_pointnet2_fused_module.py.
+    """
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    sample_method: str = 'fps'
+    pc_range: Sequence[float] | None = None
+    bucket_cap: int = 32
+
+    @nn.compact
+    def __call__(self, xyz, features, training: bool = False):
+        if self.sample_method == 'random':
+            new_xyz = xyz[:, :self.npoint]
+        else:
+            fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
+            new_xyz = dispatch.gather_operation(xyz, fps_idx)
+        out = SAGroupMLP(radii=self.radii, nsamples=self.nsamples,
+                         mlps=self.mlps, use_xyz=self.use_xyz,
+                         pc_range=self.pc_range, bucket_cap=self.bucket_cap,
+                         name='agg')(xyz, features, new_xyz, training=training)
+        return new_xyz, out
 
 
 class FPModule(nn.Module):

@@ -79,13 +79,40 @@ class DenseVoxelBackBone8x(nn.Module):
         x = jax.vmap(densify)(flat, jnp.where(ok[..., None], feats, 0.0))
         x = x.reshape(B, D, H, W, C)
 
-        x = Conv3DBlock(filters[0], (1, 1, 1), name='conv_input')(x, training)
-        x = Conv3DBlock(filters[1], (2, 2, 2), name='conv2')(x, training)
-        x = Conv3DBlock(filters[1], (1, 1, 1), name='conv2b')(x, training)
-        x = Conv3DBlock(filters[2], (2, 2, 2), name='conv3')(x, training)
-        x = Conv3DBlock(filters[2], (1, 1, 1), name='conv3b')(x, training)
-        x = Conv3DBlock(filters[3], (2, 2, 2), name='conv4')(x, training)
-        x = Conv3DBlock(filters[3], (1, 1, 1), name='conv4b')(x, training)
+        # occupancy pyramid (for VoxelSetAbstraction's masked neighborhood
+        # pooling — the dense analog of sparse-tensor nonemptiness)
+        occ = jnp.zeros((B, ncells + 1), bool).at[
+            jnp.arange(B)[:, None], flat].set(True)[:, :ncells]
+        occ = occ.reshape(B, D, H, W)
+
+        def occ_down(o):
+            return nn.max_pool(o[..., None].astype(jnp.float32),
+                               (2, 2, 2), strides=(2, 2, 2),
+                               padding='SAME')[..., 0] > 0.5
+
+        # rematerialize the 3D-conv activations in the backward pass: the
+        # full-resolution stages dominate HBM (stage 1 alone is
+        # B x D x H x W x C f32); trading their recompute for memory is the
+        # jax.checkpoint recipe for dense volumes (enabled by default,
+        # BACKBONE_3D.REMAT: False to disable)
+        Block = nn.remat(Conv3DBlock, static_argnums=(2,)) \
+            if cfg.get('REMAT', True) else Conv3DBlock
+
+        x = Block(filters[0], (1, 1, 1), name='conv_input')(x, training)
+        ms = {'x_conv1': (x, occ, 1)}
+        x = Block(filters[1], (2, 2, 2), name='conv2')(x, training)
+        x = Block(filters[1], (1, 1, 1), name='conv2b')(x, training)
+        occ = occ_down(occ)
+        ms['x_conv2'] = (x, occ, 2)
+        x = Block(filters[2], (2, 2, 2), name='conv3')(x, training)
+        x = Block(filters[2], (1, 1, 1), name='conv3b')(x, training)
+        occ = occ_down(occ)
+        ms['x_conv3'] = (x, occ, 4)
+        x = Block(filters[3], (2, 2, 2), name='conv4')(x, training)
+        x = Block(filters[3], (1, 1, 1), name='conv4b')(x, training)
+        occ = occ_down(occ)
+        ms['x_conv4'] = (x, occ, 8)
+        batch['multi_scale_3d_features'] = ms
 
         # height compression: (B, D', H', W', C') -> (B, H', W', D'*C')
         Bo, Do, Ho, Wo, Co = x.shape

@@ -7,6 +7,7 @@ the reference's module-topology pattern as pure configuration.
 from .detector3d import Detector3D
 from .pdm_ssd import PDMSSD
 from .point_rcnn import PointRCNN
+from .pv_rcnn import PVRCNN
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -17,6 +18,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PointRCNN':
         return PointRCNN(model_cfg=model_cfg, num_class=num_class,
                          dataset_cfg=dataset_cfg)
+    if name == 'PVRCNN':
+        return PVRCNN(model_cfg=model_cfg, num_class=num_class,
+                      dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

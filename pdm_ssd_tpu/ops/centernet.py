@@ -184,18 +184,10 @@ def topk_heatmap(scores: jax.Array, K: int):
     block; with S chosen so that #blocks >= 8*K the result matches the full
     top-K except in the (vanishing) case of >1 final peaks sharing a block —
     and the CenterNet local-peak structure makes adjacent-cell ties rare."""
+    from .selection import two_stage_topk
     B, C, H, W = scores.shape
-    n = C * H * W
-    flat = scores.reshape(B, n)
-    S = 16
-    n_pad = (n + S - 1) // S * S
-    if n_pad != n:
-        flat = jnp.pad(flat, ((0, 0), (0, n_pad - n)), constant_values=-jnp.inf)
-    blocks = flat.reshape(B, n_pad // S, S)
-    bmax = jnp.max(blocks, axis=-1)
-    barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)        # (B, nb)
-    topk_score, bidx = jax.lax.top_k(bmax, K)                   # (B, K)
-    topk_ind = bidx * S + jnp.take_along_axis(barg, bidx, axis=1)
+    flat = scores.reshape(B, C * H * W)
+    topk_score, topk_ind = two_stage_topk(flat, K)
     topk_classes = (topk_ind // (H * W)).astype(jnp.int32)
     topk_inds = topk_ind % (H * W)
     topk_ys = (topk_inds // W).astype(jnp.float32)

@@ -81,3 +81,56 @@ def pad_batch_to(batch: dict, target_b: int) -> dict:
         else:
             out[k] = v
     return out
+
+
+# ---- multi-host (DCN) recipe ------------------------------------------------
+
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Initialize the JAX distributed runtime for multi-host training.
+
+    TPU-native analog of `common_utils.init_dist_pytorch/slurm`
+    (`pcdet/utils/common_utils.py:162-204`): on Cloud TPU pods the arguments
+    auto-discover; pass explicit coordinator/process info elsewhere (and for
+    the 2-process CPU test, tests/test_multihost.py)."""
+    import jax
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(axis_name: str = DATA_AXIS) -> Mesh:
+    """Global data-parallel mesh over all processes' devices with the DCN
+    (inter-host) dimension OUTERMOST, so the data axis maps gradient psums
+    onto ICI within a host first and crosses DCN only for the final fold —
+    the layout `jax.experimental.mesh_utils.create_hybrid_device_mesh`
+    produces. Falls back to a flat mesh for single-host."""
+    if jax.process_count() == 1:
+        return make_mesh(axis_name=axis_name)
+    try:
+        from jax.experimental import mesh_utils
+        local = jax.local_device_count()
+        devices = mesh_utils.create_hybrid_device_mesh(
+            (local,), (jax.process_count(),))
+        return Mesh(devices.reshape(-1), (axis_name,))
+    except Exception:
+        # deterministic fallback: devices grouped by process (DCN-outer)
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batch_multihost(local_batch: dict, mesh: Mesh) -> dict:
+    """Build GLOBAL arrays from per-process local batch shards
+    (`jax.make_array_from_process_local_data`): each process feeds its own
+    samples; the global batch dim = sum over processes. The reference's
+    DistributedSampler+DDP equivalent."""
+    batch_sharding, _ = data_parallel_shardings(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object and v.ndim >= 1:
+            out[k] = jax.make_array_from_process_local_data(batch_sharding, v)
+        else:
+            out[k] = v
+    return out

@@ -266,3 +266,93 @@ def test_pointrcnn_two_stage(rng):
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[2] == 7
     assert dets['pred_mask'].dtype == bool
+
+
+def pvrcnn_cfg():
+    return CfgNode({
+        'NAME': 'PVRCNN',
+        'VFE': {'NAME': 'MeanVFE'},
+        'BACKBONE_3D': {'NAME': 'DenseVoxelBackBone8x',
+                        'NUM_FILTERS': [8, 8, 16, 16]},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                        'LAYER_STRIDES': [1], 'NUM_FILTERS': [16],
+                        'UPSAMPLE_STRIDES': [1], 'NUM_UPSAMPLE_FILTERS': [16]},
+        'DENSE_HEAD': (lambda d: (d.TARGET_ASSIGNER_CONFIG.update(
+            {'FEATURE_MAP_STRIDE': 8}), d)[1])(pointpillar_cfg().DENSE_HEAD),
+        'PFE': {
+            'NAME': 'VoxelSetAbstraction', 'POINT_SOURCE': 'raw_points',
+            'NUM_KEYPOINTS': 64, 'NUM_OUTPUT_FEATURES': 32,
+            'SAMPLE_METHOD': 'FPS',
+            'FEATURES_SOURCE': ['bev', 'x_conv3', 'x_conv4', 'raw_points'],
+            'SA_LAYER': {
+                'raw_points': {'MLPS': [[8, 8], [8, 8]],
+                               'POOL_RADIUS': [0.8, 1.6], 'NSAMPLE': [8, 8]},
+                'x_conv3': {'DOWNSAMPLE_FACTOR': 4, 'MLPS': [[16, 16]],
+                            'POOL_RADIUS': [2.4], 'NSAMPLE': [8]},
+                'x_conv4': {'DOWNSAMPLE_FACTOR': 8, 'MLPS': [[16, 16]],
+                            'POOL_RADIUS': [4.8], 'NSAMPLE': [8]},
+            }},
+        'POINT_HEAD': {
+            'NAME': 'PointHeadSimple', 'CLS_FC': [16], 'CLASS_AGNOSTIC': True,
+            'USE_POINT_FEATURES_BEFORE_FUSION': False,
+            'TARGET_CONFIG': {'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2]},
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {'point_cls_weight': 1.0}}},
+        'ROI_HEAD': {
+            'NAME': 'PVRCNNHead', 'CLASS_AGNOSTIC': True, 'GRID_SIZE': 3,
+            'POOL_MAX_KEYPOINTS': 32,
+            'SHARED_FC': [32], 'CLS_FC': [16], 'REG_FC': [16],
+            'NMS_CONFIG': {
+                'TRAIN': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.8,
+                          'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16},
+                'TEST': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.7,
+                         'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16}},
+            'ROI_GRID_POOL': {'POOL_RADIUS': [0.8, 1.6], 'NSAMPLE': [8, 8],
+                              'MLPS': [[16, 16], [16, 16]]},
+            'TARGET_CONFIG': {
+                'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+                'SAMPLE_ROI_BY_EACH_CLASS': True, 'CLS_SCORE_TYPE': 'roi_iou',
+                'CLS_FG_THRESH': 0.75, 'CLS_BG_THRESH': 0.25,
+                'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+                'REG_FG_THRESH': 0.55},
+            'LOSS_CONFIG': {
+                'CLS_LOSS': 'BinaryCrossEntropy', 'REG_LOSS': 'smooth-l1',
+                'CORNER_LOSS_REGULARIZATION': True,
+                'LOSS_WEIGHTS': {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                                 'rcnn_corner_weight': 1.0,
+                                 'code_weights': [1.0] * 7}}},
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.1,
+                           'NMS_PRE_MAXSIZE': 16, 'NMS_POST_MAXSIZE': 8}},
+    })
+
+
+def test_pvrcnn_forward_loss_predict(rng):
+    model = build_network(pvrcnn_cfg(), num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    # MeanVFE consumes 'voxels' + 'voxel_num_points'
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'rcnn_cls_loss' in tb or any('rcnn' in k for k in tb)
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[0] == batch['points'].shape[0]
+    assert dets['pred_boxes'].shape[2] == 7
+
+    # gradients flow end to end
+    def loss_fn(p):
+        (l, _), _ = model.apply({'params': p,
+                                 'batch_stats': variables['batch_stats']},
+                                batch, training=True, mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(3)},
+                                method=model.forward_with_loss)
+        return l
+    g = jax.grad(loss_fn)(variables['params'])
+    total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0

@@ -65,8 +65,8 @@ def test_fused_module_matches_reference():
     fused_mod = SAModuleMSGFused(**kw, bucket_cap=128)
 
     ref_vars = ref_mod.init(jax.random.PRNGKey(2), xyz, feats)
-    fused_params = _map_params(ref_vars, 2)
-    fused_params['batch_stats'] = _map_batch_stats(ref_vars, 2)
+    fused_params = {'params': {'agg': _map_params(ref_vars, 2)['params']}}
+    fused_params['batch_stats'] = {'agg': _map_batch_stats(ref_vars, 2)}
 
     ref_xyz, ref_out = ref_mod.apply(ref_vars, xyz, feats, training=False)
     fus_xyz, fus_out = fused_mod.apply(fused_params, xyz, feats, training=False)
