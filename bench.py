@@ -41,7 +41,7 @@ def main():
     from __graft_entry__ import _flagship, _make_batch
 
     batch_size = 8
-    model, cfg = _flagship(tiny=False)
+    model, cfg = _flagship(tiny=False)  # point-exact PDM-SSD (hybrid head on)
     batch = _make_batch(B=batch_size, N=16384)
 
     kitti_bins = sorted((REPO / 'data/kitti/training/velodyne').glob('*.bin'))[:batch_size] \

@@ -120,3 +120,111 @@ class DenseVoxelBackBone8x(nn.Module):
         batch['spatial_features'] = jnp.moveaxis(x, 1, 3).reshape(Bo, Ho, Wo, Do * Co)
         batch['spatial_features_stride'] = 8
         return batch
+
+
+class DenseUNetV2(nn.Module):
+    """Dense analog of the sparse `UNetV2` (`pcdet/models/backbones_3d/
+    spconv_unet.py:49-230`): the VoxelBackBone8x encoder ladder plus a
+    transpose-conv decoder with skip additions, producing full-resolution
+    per-voxel features; voxel-point features are gathered back at the input
+    voxel coordinates (the dense stand-in for the sparse tensor's site list).
+
+    Adds to batch: 'spatial_features' (encoder height compression, stride 8),
+    'point_features' (B, V, C0) and 'point_coords' (B, V, 3 voxel
+    centers), 'point_mask'.
+    """
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any            # (W, H, D)
+    voxel_size: Any = (0.1, 0.1, 0.2)
+    point_cloud_range: Any = (0, -40, -3, 70.4, 40, 1)
+
+    @property
+    def num_bev_features(self):
+        cfg = as_cfg(self.model_cfg)
+        d = self.grid_size[2]
+        for _ in range(3):
+            d = -(-d // 2)
+        return cfg.get('NUM_FILTERS', [16, 32, 64, 64])[-1] * max(d, 1)
+
+    @property
+    def num_point_features(self):
+        return as_cfg(self.model_cfg).get('NUM_FILTERS', [16, 32, 64, 64])[0]
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        cfg = as_cfg(self.model_cfg)
+        filters = cfg.get('NUM_FILTERS', [16, 32, 64, 64])
+        W, H, D = (int(g) for g in self.grid_size)
+        feats = batch['voxel_features']
+        coords = batch['voxel_coords']               # (B, V, 3) zyx
+        mask = batch.get('voxel_mask')
+        B, V, C = feats.shape
+
+        iz = coords[..., 0].astype(jnp.int32)
+        iy = coords[..., 1].astype(jnp.int32)
+        ix = coords[..., 2].astype(jnp.int32)
+        ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
+        if mask is not None:
+            ok = ok & mask
+        ncells = D * H * W
+        flat = jnp.where(ok, (iz * H + iy) * W + ix, ncells)
+
+        def densify(fl, f):
+            vol = jnp.zeros((ncells + 1, C), f.dtype)
+            return vol.at[fl].add(f)[:ncells]
+
+        x = jax.vmap(densify)(flat, jnp.where(ok[..., None], feats, 0.0))
+        x = x.reshape(B, D, H, W, C)
+
+        Block = nn.remat(Conv3DBlock, static_argnums=(2,)) \
+            if cfg.get('REMAT', True) else Conv3DBlock
+
+        # encoder (VoxelBackBone8x ladder)
+        e1 = Block(filters[0], (1, 1, 1), name='conv_input')(x, training)
+        e2 = Block(filters[1], (2, 2, 2), name='conv2')(e1, training)
+        e2 = Block(filters[1], (1, 1, 1), name='conv2b')(e2, training)
+        e3 = Block(filters[2], (2, 2, 2), name='conv3')(e2, training)
+        e3 = Block(filters[2], (1, 1, 1), name='conv3b')(e3, training)
+        e4 = Block(filters[3], (2, 2, 2), name='conv4')(e3, training)
+        e4 = Block(filters[3], (1, 1, 1), name='conv4b')(e4, training)
+
+        # decoder: deconv + skip-add ladder (`spconv_unet.UNetV2` up path)
+        def up(xx, skip, ch, name):
+            xx = nn.ConvTranspose(ch, (3, 3, 3), strides=(2, 2, 2),
+                                  padding='SAME', use_bias=False,
+                                  name=f'{name}_deconv')(xx)
+            xx = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                              epsilon=1e-3, name=f'{name}_bn')(xx)
+            xx = nn.relu(xx)
+            sd, sh, sw = skip.shape[1:4]
+            xx = xx[:, :sd, :sh, :sw]
+            return Block(ch, (1, 1, 1), name=f'{name}_fuse')(
+                xx + nn.Dense(ch, use_bias=False, name=f'{name}_skip')(skip),
+                training)
+
+        d3 = up(e4, e3, filters[2], 'up3')
+        d2 = up(d3, e2, filters[1], 'up2')
+        d1 = up(d2, e1, filters[0], 'up1')           # (B, D, H, W, C0)
+
+        # height compression from the encoder top (stride-8 BEV)
+        Bo, Do, Ho, Wo, Co = e4.shape
+        batch['spatial_features'] = jnp.moveaxis(e4, 1, 3).reshape(
+            Bo, Ho, Wo, Do * Co)
+        batch['spatial_features_stride'] = 8
+
+        # gather per-voxel-point features at the input sites
+        flat_d1 = d1.reshape(B, ncells, filters[0])
+        safe = jnp.minimum(flat, ncells - 1)
+        pf = jnp.take_along_axis(flat_d1, safe[..., None], axis=1)
+        pf = jnp.where(ok[..., None], pf, 0.0)
+        vsz = jnp.asarray(self.voxel_size, jnp.float32)
+        origin = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        centers = jnp.stack([(ix.astype(jnp.float32) + 0.5) * vsz[0] + origin[0],
+                             (iy.astype(jnp.float32) + 0.5) * vsz[1] + origin[1],
+                             (iz.astype(jnp.float32) + 0.5) * vsz[2] + origin[2]],
+                            axis=-1)
+        batch['point_features'] = pf
+        batch['point_coords'] = centers
+        batch['point_mask'] = ok
+        return batch

@@ -8,6 +8,8 @@ from .detector3d import Detector3D
 from .pdm_ssd import PDMSSD
 from .point_rcnn import PointRCNN
 from .pv_rcnn import PVRCNN
+from .voxel_rcnn import VoxelRCNN
+from .parta2 import PartA2Net
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -21,6 +23,12 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PVRCNN':
         return PVRCNN(model_cfg=model_cfg, num_class=num_class,
                       dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'VoxelRCNN':
+        return VoxelRCNN(model_cfg=model_cfg, num_class=num_class,
+                         dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'PartA2Net':
+        return PartA2Net(model_cfg=model_cfg, num_class=num_class,
+                         dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

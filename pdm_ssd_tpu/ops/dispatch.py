@@ -37,17 +37,12 @@ def ball_query(radius: float, nsample: int, xyz, new_xyz, pc_range=None, cap: in
 
 def grouping_operation(features, idx):
     """Neighbor feature grouping: features (B, N, C), idx (B, M, K) ->
-    (B, M, K, C). TPU: one-hot matmul kernel (`pallas/onehot_gather.py`);
-    CPU: XLA take_along_axis."""
-    if _on_tpu():
-        from .pallas.onehot_gather import gather_rows
-        return gather_rows(features, idx)
+    (B, M, K, C). Plain row gather: XLA's TPU gather moves ~6 ns/row in-graph
+    (round-2 calibration; the round-1 one-hot matmul kernel predates that
+    measurement and only wins at extreme row counts)."""
     return ref.grouping_operation(features, idx)
 
 
 def gather_operation(features, idx):
     """features (B, N, C), idx (B, M) -> (B, M, C)."""
-    if _on_tpu():
-        from .pallas.onehot_gather import gather_rows
-        return gather_rows(features, idx)
     return ref.gather_operation(features, idx)

@@ -356,3 +356,72 @@ def test_pvrcnn_forward_loss_predict(rng):
     g = jax.grad(loss_fn)(variables['params'])
     total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def voxelrcnn_cfg():
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'VoxelRCNN'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD.NAME = 'VoxelRCNNHead'
+    del cfg.ROI_HEAD['POOL_MAX_KEYPOINTS']
+    cfg.ROI_HEAD.ROI_GRID_POOL = CfgNode({
+        'FEATURES_SOURCE': ['x_conv3', 'x_conv4'],
+        'x_conv3': {'MLPS': [16, 16]},
+        'x_conv4': {'MLPS': [16, 16]},
+    })
+    return cfg
+
+
+def test_voxelrcnn_forward_loss_predict(rng):
+    model = build_network(voxelrcnn_cfg(), num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[0] == batch['points'].shape[0]
+    assert dets['pred_boxes'].shape[2] == 7
+
+
+def parta2_cfg():
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'PartA2Net'
+    del cfg['PFE']
+    cfg.BACKBONE_3D = CfgNode({'NAME': 'DenseUNetV2',
+                               'NUM_FILTERS': [8, 8, 16, 16]})
+    cfg.POINT_HEAD = CfgNode({
+        'NAME': 'PointIntraPartOffsetHead', 'CLS_FC': [16], 'PART_FC': [16],
+        'CLASS_AGNOSTIC': True,
+        'TARGET_CONFIG': {'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2]}})
+    cfg.ROI_HEAD.NAME = 'PartA2FCHead'
+    del cfg.ROI_HEAD['POOL_MAX_KEYPOINTS']
+    del cfg.ROI_HEAD['ROI_GRID_POOL']
+    cfg.ROI_HEAD.ROI_AWARE_POOL = CfgNode({
+        'POOL_SIZE': 6, 'NUM_FEATURES': 8, 'MAX_POINTS': 32})
+    cfg.ROI_HEAD.SEG_MASK_SCORE_THRESH = 0.3
+    return cfg
+
+
+def test_parta2_forward_loss_predict(rng):
+    model = build_network(parta2_cfg(), num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'part_seg_loss' in tb and 'part_reg_loss' in tb
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[0] == batch['points'].shape[0]
+    assert dets['pred_boxes'].shape[2] == 7
