@@ -18,6 +18,9 @@ from .custom.custom_dataset import CustomDataset
 from .nuscenes.nuscenes_dataset import NuScenesDataset
 from .waymo.waymo_dataset import WaymoDataset
 from .once.once_dataset import ONCEDataset
+from .lyft.lyft_dataset import LyftDataset
+from .pandaset.pandaset_dataset import PandasetDataset
+from .argo2.argo2_dataset import Argo2Dataset
 
 __all__ = {
     'DatasetTemplate': DatasetTemplate,
@@ -26,6 +29,9 @@ __all__ = {
     'NuScenesDataset': NuScenesDataset,
     'WaymoDataset': WaymoDataset,
     'ONCEDataset': ONCEDataset,
+    'LyftDataset': LyftDataset,
+    'PandasetDataset': PandasetDataset,
+    'Argo2Dataset': Argo2Dataset,
 }
 
 

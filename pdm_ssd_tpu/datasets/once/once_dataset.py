@@ -1,9 +1,8 @@
 """ONCE dataset (structure parity with `pcdet/datasets/once/once_dataset.py`).
 
 Info-pkl driven loading of ONCE lidar bins, train/val/test + unlabeled raw
-splits, prediction dicts in ONCE format. The official ONCE AP evaluation
-(reference `once_eval/`) is numba-based; here the lidar-frame recall fallback
-reports until the full vectorized ONCE AP lands (round 2).
+splits, prediction dicts in ONCE format. Evaluation runs the vectorized official
+ONCE AP (`once_eval.py`, protocol parity-tested vs the reference).
 """
 from __future__ import annotations
 

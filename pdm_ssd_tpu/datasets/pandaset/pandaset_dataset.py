@@ -1,0 +1,69 @@
+"""Pandaset dataset (structure parity with
+`pcdet/datasets/pandaset/pandaset_dataset.py`).
+
+The reference loads sequences through the pandaset devkit (gzip'd pickles of
+dataframes); absent here, loading is info-pkl driven with the same per-frame
+schema: 'lidar_path' (npy/bin), 'gt_boxes' (N, 7 lidar frame), 'gt_names'.
+Evaluation reports the KITTI-style recall fallback plus the Lyft-style
+IoU-averaged mAP (Pandaset ships no official benchmark protocol).
+"""
+from __future__ import annotations
+
+import copy
+import pickle
+
+import numpy as np
+
+from ..dataset import DatasetTemplate
+
+
+class PandasetDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None):
+        super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
+                         training=training, root_path=root_path, logger=logger)
+        self.infos = []
+        for info_path in self.dataset_cfg.INFO_PATH[self.mode]:
+            p = self.root_path / info_path
+            if p.exists():
+                with open(p, 'rb') as f:
+                    self.infos.extend(pickle.load(f))
+        if self.logger is not None:
+            self.logger.info('Total samples for Pandaset: %d' % len(self.infos))
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_lidar(self, info):
+        path = self.root_path / info['lidar_path']
+        if path.suffix == '.npy':
+            pts = np.load(str(path))
+        else:
+            pts = np.fromfile(str(path), dtype=np.float32).reshape(-1, 4)
+        return pts[:, :4].astype(np.float32)
+
+    def __getitem__(self, index):
+        info = copy.deepcopy(self.infos[index])
+        input_dict = {'points': self.get_lidar(info),
+                      'frame_id': info.get('frame_id', index)}
+        if 'gt_boxes' in info:
+            input_dict.update({'gt_names': info['gt_names'],
+                               'gt_boxes': info['gt_boxes']})
+        data_dict = self.prepare_data(data_dict=input_dict)
+        if data_dict is None:
+            return self.__getitem__(np.random.randint(len(self)))
+        return data_dict
+
+    @staticmethod
+    def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        from ..lyft.lyft_dataset import LyftDataset
+        return LyftDataset.generate_prediction_dicts(
+            batch_dict, pred_dicts, class_names, output_path)
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        from ..lyft.lyft_dataset import lyft_map
+        gt_annos = [{'name': np.asarray(i.get('gt_names', [])),
+                     'boxes_3d': np.asarray(i.get('gt_boxes', np.zeros((0, 7))))}
+                    for i in self.infos]
+        return lyft_map(gt_annos, det_annos, class_names)

@@ -259,3 +259,79 @@ class AnchorHeadSingle(nn.Module):
             boxes = boxes.at[..., 6].set(
                 rot + dir_offset + period * dir_labels.astype(boxes.dtype))
         return cls_preds, boxes
+
+
+class AnchorHeadMulti(AnchorHeadSingle):
+    """Grouped multi-head anchors (`pcdet/models/dense_heads/anchor_head_multi
+    .py`): a shared conv trunk, then one head per RPN_HEAD_CFGS group
+    predicting only its classes' anchors. Outputs are assembled into the
+    global anchor-major layout of `AnchorHeadSingle`, with the logits of
+    classes foreign to a head pinned to a large negative constant (their
+    sigmoid is ~0, matching the reference's structural absence), so the
+    assigner/losses/decode are shared unchanged.
+    """
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        cfg = as_cfg(self.model_cfg)
+        x = batch['spatial_features_2d']
+        code = self._coder().code_size
+        n_dir = cfg.get('NUM_DIR_BINS', 2)
+        use_dir = cfg.get('USE_DIRECTION_CLASSIFIER', True)
+
+        shared_ch = cfg.get('SHARED_CONV_NUM_FILTER', 64)
+        h = nn.Conv(shared_ch, (3, 3), padding=1, use_bias=False,
+                    name='shared_conv')(x)
+        h = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                         epsilon=1e-3, name='shared_bn')(h)
+        h = nn.relu(h)
+        B, H, W, _ = h.shape
+
+        gen_cfgs = list(cfg.ANCHOR_GENERATOR_CONFIG)
+        cls_names = [c['class_name'] for c in gen_cfgs]
+        n_rot_per_class = [len(c['anchor_sizes']) * len(c['anchor_rotations'])
+                           for c in gen_cfgs]
+        head_groups = [list(hc['HEAD_CLS_NAME']) for hc in cfg.RPN_HEAD_CFGS]
+
+        per_class_cls = {}
+        per_class_box = {}
+        per_class_dir = {}
+        for gi, group in enumerate(head_groups):
+            n_loc = sum(n_rot_per_class[cls_names.index(n)] for n in group)
+            gcls = nn.Conv(n_loc * len(group), (1, 1), name=f'head{gi}_cls',
+                           bias_init=nn.initializers.constant(
+                               -float(np.log((1 - 0.01) / 0.01))))(h)
+            gbox = nn.Conv(n_loc * code, (1, 1), name=f'head{gi}_box')(h)
+            gdir = nn.Conv(n_loc * n_dir, (1, 1),
+                           name=f'head{gi}_dir')(h) if use_dir else None
+            off = 0
+            for ln, name in enumerate(group):
+                nr = n_rot_per_class[cls_names.index(name)]
+                sl = slice(off, off + nr)
+                per_class_cls[name] = (
+                    gcls.reshape(B, H, W, n_loc, len(group))[:, :, :, sl, ln])
+                per_class_box[name] = (
+                    gbox.reshape(B, H, W, n_loc, code)[:, :, :, sl])
+                if use_dir:
+                    per_class_dir[name] = (
+                        gdir.reshape(B, H, W, n_loc, n_dir)[:, :, :, sl])
+                off += nr
+
+        # assemble the global anchor-major tensors in generator-config order
+        cls_out, box_out, dir_out = [], [], []
+        for ci, name in enumerate(cls_names):
+            nr = n_rot_per_class[ci]
+            logit = per_class_cls[name]                    # (B, H, W, nr)
+            full = jnp.full((B, H, W, nr, self.num_class), -10.0, logit.dtype)
+            full = full.at[..., ci].set(logit)
+            cls_out.append(full.transpose(0, 3, 1, 2, 4).reshape(B, -1, self.num_class))
+            box_out.append(per_class_box[name].transpose(0, 3, 1, 2, 4)
+                           .reshape(B, -1, code))
+            if use_dir:
+                dir_out.append(per_class_dir[name].transpose(0, 3, 1, 2, 4)
+                               .reshape(B, -1, n_dir))
+        batch['anchor_cls_preds'] = jnp.concatenate(cls_out, axis=1)
+        batch['anchor_box_preds'] = jnp.concatenate(box_out, axis=1)
+        if use_dir:
+            batch['anchor_dir_preds'] = jnp.concatenate(dir_out, axis=1)
+        return batch

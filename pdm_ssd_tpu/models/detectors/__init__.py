@@ -10,6 +10,7 @@ from .point_rcnn import PointRCNN
 from .pv_rcnn import PVRCNN
 from .voxel_rcnn import VoxelRCNN
 from .parta2 import PartA2Net
+from .second_iou import SECONDNetIoU
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -29,6 +30,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PartA2Net':
         return PartA2Net(model_cfg=model_cfg, num_class=num_class,
                          dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'SECONDNetIoU':
+        return SECONDNetIoU(model_cfg=model_cfg, num_class=num_class,
+                            dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

@@ -23,12 +23,12 @@ import numpy as np
 from ...ops.selection import two_stage_topk
 from .. import model_nms
 from ...utils.config import as_cfg
-from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
+from ..backbones_2d.base_bev_backbone import BaseBEVBackbone, BaseBEVResBackbone
 from ..backbones_2d.map_to_bev import Conv2DCollapse, HeightCompression, PointPillarScatter
 from ..backbones_3d.vfe import DynamicPillarVFE, MeanVFE, PillarVFE
 from ..backbones_3d.voxel_backbone import DenseVoxelBackBone8x
 from ..backbones_3d.grid_point_backbone import GridPointBackbone
-from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.anchor_head import AnchorHeadMulti, AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
 
 
@@ -107,7 +107,10 @@ class Detector3D(nn.Module):
             bev_in = vfe_out
 
         if cfg.get('BACKBONE_2D') is not None:
-            bb = BaseBEVBackbone(model_cfg=cfg.BACKBONE_2D, input_channels=bev_in)
+            bb_cls = BaseBEVResBackbone \
+                if cfg.BACKBONE_2D.get('NAME') == 'BaseBEVResBackbone' \
+                else BaseBEVBackbone
+            bb = bb_cls(model_cfg=cfg.BACKBONE_2D, input_channels=bev_in)
             modules.append(bb)
             head_in = bb.num_bev_features
         else:
@@ -124,7 +127,9 @@ class Detector3D(nn.Module):
                 voxel_size=voxel[:2],
                 class_names=tuple(self.class_names) if self.class_names else None)
         else:
-            self.dense_head = AnchorHeadSingle(
+            head_cls = AnchorHeadMulti if head_cfg.NAME == 'AnchorHeadMulti' \
+                else AnchorHeadSingle
+            self.dense_head = head_cls(
                 model_cfg=head_cfg, input_channels=head_in, num_class=self.num_class,
                 class_names=self.class_names, grid_size=fmap,
                 point_cloud_range=pc_range)

@@ -135,6 +135,10 @@ class RoIHeadTemplate(nn.Module):
             if score_type == 'roi_iou':
                 interp = (max_iou - cls_bg) / jnp.maximum(cls_fg - cls_bg, 1e-6)
                 cls_label = jnp.clip(interp, 0.0, 1.0)
+            elif score_type == 'raw_roi_iou':
+                # SECOND-IoU: regress the raw ROI/GT IoU itself
+                # (`second_net_iou` target convention)
+                cls_label = jnp.clip(max_iou, 0.0, 1.0)
             else:
                 cls_label = jnp.where(max_iou > cls_fg, 1.0,
                                       jnp.where(max_iou < cls_bg, 0.0, -1.0))

@@ -425,3 +425,62 @@ def test_parta2_forward_loss_predict(rng):
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[0] == batch['points'].shape[0]
     assert dets['pred_boxes'].shape[2] == 7
+
+
+def second_iou_cfg():
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'SECONDNetIoU'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD.NAME = 'SECONDHead'
+    del cfg.ROI_HEAD['POOL_MAX_KEYPOINTS']
+    del cfg.ROI_HEAD['ROI_GRID_POOL']
+    del cfg.ROI_HEAD['GRID_SIZE']
+    cfg.ROI_HEAD.ROI_GRID_POOL = CfgNode({'GRID_SIZE': 7,
+                                          'DOWNSAMPLE_RATIO': 8})
+    cfg.ROI_HEAD.SHARED_FC = [32]
+    cfg.ROI_HEAD.IOU_FC = [16]
+    cfg.ROI_HEAD.LOSS_CONFIG = CfgNode({
+        'IOU_LOSS': 'BinaryCrossEntropy',
+        'LOSS_WEIGHTS': {'rcnn_iou_weight': 1.0}})
+    cfg.POST_PROCESSING.IOU_RECTIFIER = 0.71
+    return cfg
+
+
+def test_second_iou_forward_loss_predict(rng):
+    model = build_network(second_iou_cfg(), num_class=3,
+                          dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'rcnn_loss_iou' in tb
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[0] == batch['points'].shape[0]
+
+
+def test_anchor_head_multi(rng):
+    cfg = pointpillar_cfg()
+    cfg.DENSE_HEAD.NAME = 'AnchorHeadMulti'
+    cfg.DENSE_HEAD.SHARED_CONV_NUM_FILTER = 16
+    cfg.DENSE_HEAD.RPN_HEAD_CFGS = [
+        {'HEAD_CLS_NAME': ['Car']},
+        {'HEAD_CLS_NAME': ['Pedestrian', 'Cyclist']},
+    ]
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
