@@ -107,9 +107,14 @@ class Detector3D(nn.Module):
             bev_in = vfe_out
 
         if cfg.get('BACKBONE_2D') is not None:
-            bb_cls = BaseBEVResBackbone \
-                if cfg.BACKBONE_2D.get('NAME') == 'BaseBEVResBackbone' \
-                else BaseBEVBackbone
+            name2d = cfg.BACKBONE_2D.get('NAME')
+            if name2d == 'BaseBEVResBackbone':
+                bb_cls = BaseBEVResBackbone
+            elif name2d == 'DSVTBackbone':
+                from ..backbones_2d.dsvt_backbone import DSVTBackbone
+                bb_cls = DSVTBackbone
+            else:
+                bb_cls = BaseBEVBackbone
             bb = bb_cls(model_cfg=cfg.BACKBONE_2D, input_channels=bev_in)
             modules.append(bb)
             head_in = bb.num_bev_features
@@ -139,6 +144,10 @@ class Detector3D(nn.Module):
         batch = dict(batch)
         for m in self.module_list:
             batch = m(batch, training=training)
+        if 'spatial_features_2d' not in batch:
+            # no 2D backbone configured (VoxelNeXt-style): the head reads the
+            # 3D backbone's compressed BEV map directly
+            batch['spatial_features_2d'] = batch['spatial_features']
         batch = self.dense_head(batch, training=training)
         return batch
 

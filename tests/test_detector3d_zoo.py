@@ -484,3 +484,47 @@ def test_anchor_head_multi(rng):
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_dsvt_backbone_centerpoint(rng):
+    """DSVT-style dense window-attention backbone in the CenterPoint config."""
+    cfg = centerpoint_cfg()
+    cfg.NAME = 'DSVT'
+    cfg.BACKBONE_2D = CfgNode({
+        'NAME': 'DSVTBackbone', 'WINDOW_SHAPE': [8, 8],
+        'D_MODEL': [16, 16], 'NHEAD': [2, 2], 'DIM_FEEDFORWARD': [32, 32],
+        'BLOCKS_PER_STAGE': [2, 2], 'STAGE_STRIDES': [1, 2]})
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_voxelnext_config_assembly(rng):
+    """VoxelNeXt as configuration: voxel ladder + CenterHead, no BEV
+    backbone (the dense recast of the sparse-head design)."""
+    cfg = centerpoint_cfg()
+    cfg.NAME = 'VoxelNeXt'
+    cfg.VFE = CfgNode({'NAME': 'MeanVFE'})
+    cfg.BACKBONE_3D = CfgNode({'NAME': 'DenseVoxelBackBone8x',
+                               'NUM_FILTERS': [8, 8, 16, 16]})
+    del cfg['BACKBONE_2D']
+    cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.FEATURE_MAP_STRIDE = 8
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
