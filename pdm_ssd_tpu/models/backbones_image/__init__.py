@@ -1,0 +1,2 @@
+from .image_backbone import ConvImageBackbone  # noqa: F401
+from .fuser import ConvFuser  # noqa: F401

@@ -11,6 +11,7 @@ from .pv_rcnn import PVRCNN
 from .voxel_rcnn import VoxelRCNN
 from .parta2 import PartA2Net
 from .second_iou import SECONDNetIoU
+from .bev_fusion import BevFusion
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -33,6 +34,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'SECONDNetIoU':
         return SECONDNetIoU(model_cfg=model_cfg, num_class=num_class,
                             dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'BevFusion':
+        return BevFusion(model_cfg=model_cfg, num_class=num_class,
+                         dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'VoxelNeXt', 'DSVT', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,
