@@ -152,7 +152,26 @@ class VoxelSetAbstraction(nn.Module):
         xyz = points[..., :3]
         n_key = int(cfg.NUM_KEYPOINTS)
 
-        fps_idx = dispatch.farthest_point_sample(xyz, n_key)
+        if cfg.get('SAMPLE_METHOD', 'FPS') == 'SPC' and 'rois' in batch:
+            # sectorized-proposal-centric sampling (PV-RCNN++,
+            # `voxel_set_abstraction.py:sectorized_proposal_centric_sampling`):
+            # FPS restricted to points near the stage-1 proposals. Points
+            # outside the radius collapse onto a reference near point, so the
+            # max-min iteration never selects them (the sector partition of
+            # the reference is a GPU work-split, not a semantic change).
+            rois = batch['rois'][..., :3]              # (B, R, 3)
+            rad = float(cfg.SPC_SAMPLING.SAMPLE_RADIUS_WITH_ROI)
+            d2 = jnp.min(jnp.sum(
+                (xyz[:, :, None, :2] - rois[:, None, :, :2]) ** 2, -1), -1)
+            roi_ok = jnp.any(batch.get(
+                'roi_mask', jnp.ones(rois.shape[:2], bool)), -1, keepdims=True)
+            near = (d2 < rad * rad) | ~roi_ok          # all pts if no rois
+            anchor = jnp.argmax(near, axis=1)          # (B,) a near point
+            ref = jnp.take_along_axis(xyz, anchor[:, None, None], axis=1)
+            xyz_spc = jnp.where(near[..., None], xyz, ref)
+            fps_idx = dispatch.farthest_point_sample(xyz_spc, n_key)
+        else:
+            fps_idx = dispatch.farthest_point_sample(xyz, n_key)
         keypoints = dispatch.gather_operation(xyz, fps_idx)       # (B, K, 3)
 
         pr = self.point_cloud_range
@@ -167,12 +186,21 @@ class VoxelSetAbstraction(nn.Module):
 
         if 'raw_points' in cfg.FEATURES_SOURCE:
             rp = sa_cfg.raw_points
-            mlps = [list(m) for m in rp.MLPS]
             raw_feats = points[..., 3:] if points.shape[-1] > 3 else None
-            sources.append(SAGroupMLP(
-                radii=list(rp.POOL_RADIUS), nsamples=list(rp.NSAMPLE),
-                mlps=mlps, pc_range=bev_range, name='sa_raw')(
-                    xyz, raw_feats, keypoints, training=training))
+            if rp.get('AGGREGATION', '') == 'VectorPoolAgg':
+                sources.append(VectorPoolAgg(
+                    radius=float(rp.POOL_RADIUS[0]),
+                    nsample=int(rp.NSAMPLE[0]),
+                    local_grid=int(rp.get('LOCAL_GRID', 3)),
+                    mlp=[int(c) for c in rp.MLPS[0]],
+                    pc_range=bev_range, name='vp_raw')(
+                        xyz, raw_feats, keypoints, training=training))
+            else:
+                mlps = [list(m) for m in rp.MLPS]
+                sources.append(SAGroupMLP(
+                    radii=list(rp.POOL_RADIUS), nsamples=list(rp.NSAMPLE),
+                    mlps=mlps, pc_range=bev_range, name='sa_raw')(
+                        xyz, raw_feats, keypoints, training=training))
 
         for src in cfg.FEATURES_SOURCE:
             if not src.startswith('x_conv'):
@@ -194,3 +222,58 @@ class VoxelSetAbstraction(nn.Module):
         batch['point_features'] = nn.relu(h)
         batch['point_coords'] = keypoints
         return batch
+
+
+class VectorPoolAgg(nn.Module):
+    """VectorPool aggregation (PV-RCNN++) — dense TPU recast.
+
+    The reference `VectorPoolAggregationModuleMSG`
+    (`pointnet2_stack/pointnet2_modules.py:30-458` + `vector_pool_gpu.cu`)
+    gives each keypoint a small local voxel grid whose subvoxels carry
+    SEPARATE output channels (position-dependent encoding, unlike max-pool
+    SA). Here: the fused grid query supplies K in-radius neighbors per
+    keypoint, each neighbor lands in its local subvoxel by relative offset,
+    subvoxels average their neighbors (one-hot matmul), and the concatenated
+    per-subvoxel features pass through an MLP.
+    """
+    radius: float
+    nsample: int
+    local_grid: int           # G: G^3 subvoxels
+    mlp: Sequence[int]
+    pc_range: Any
+
+    @nn.compact
+    def __call__(self, xyz, features, keypoints, training: bool = False):
+        from ...ops import sa_fused
+        B, M, _ = keypoints.shape
+        G = int(self.local_grid)
+        G3 = G ** 3
+        (rel, gfeat, hit), = sa_fused.fused_query_group(
+            [float(self.radius)], [int(self.nsample)], xyz, features,
+            keypoints, tuple(self.pc_range), cap=32)
+        C = 0 if gfeat is None else gfeat.shape[-1]
+        parts = [rel] if gfeat is None else [rel, gfeat]
+        neigh = jnp.concatenate(parts, axis=-1)            # (B, M, K, 3+C)
+        # subvoxel id from the relative offset
+        cell = jnp.clip(((rel / (2 * self.radius) + 0.5) * G).astype(jnp.int32),
+                        0, G - 1)
+        cid = (cell[..., 0] * G + cell[..., 1]) * G + cell[..., 2]
+        nonzero = jnp.any(jnp.abs(rel) > 1e-6, axis=-1) | hit[..., None]
+        oh = ((cid[..., None] == jnp.arange(G3)) & nonzero[..., None]
+              ).astype(jnp.bfloat16)                       # (B, M, K, G3)
+        dn = (((2,), (2,)), ((0, 1), (0, 1)))
+        sums = jax.lax.dot_general(
+            jnp.moveaxis(neigh, 3, 2).astype(jnp.bfloat16), oh,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)            # (B, M, 3+C, G3)
+        cnt = jnp.sum(oh.astype(jnp.float32), axis=2)      # (B, M, G3)
+        avg = sums / jnp.clip(cnt[:, :, None, :], 1.0)
+        avg = jnp.where(cnt[:, :, None, :] > 0, avg, 0.0)
+        flat = jnp.moveaxis(avg, 2, 3).reshape(B, M, G3 * (3 + C))
+        h = flat
+        for i, c in enumerate(self.mlp):
+            h = nn.Dense(c, use_bias=False, name=f'fc{i}')(h)
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, name=f'bn{i}')(h)
+            h = nn.relu(h)
+        return jnp.where(hit[..., None], h, 0.0)

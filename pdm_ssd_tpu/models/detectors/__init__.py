@@ -12,6 +12,7 @@ from .voxel_rcnn import VoxelRCNN
 from .parta2 import PartA2Net
 from .second_iou import SECONDNetIoU
 from .bev_fusion import BevFusion
+from .pv_rcnn_plusplus import PVRCNNPlusPlus
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -37,6 +38,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'BevFusion':
         return BevFusion(model_cfg=model_cfg, num_class=num_class,
                          dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'PVRCNNPlusPlus':
+        return PVRCNNPlusPlus(model_cfg=model_cfg, num_class=num_class,
+                              dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'VoxelNeXt', 'DSVT', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

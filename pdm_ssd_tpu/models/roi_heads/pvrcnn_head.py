@@ -77,16 +77,18 @@ class PVRCNNHead(RoIHeadTemplate):
     input_channels: int = 0
 
     @nn.compact
-    def __call__(self, batch: dict, training: bool = False) -> dict:
+    def __call__(self, batch: dict, training: bool = False,
+                 skip_proposals: bool = False) -> dict:
         cfg = as_cfg(self.model_cfg)
         pool_cfg = cfg.ROI_GRID_POOL
         g = int(cfg.get('GRID_SIZE', 6))
         G3 = g ** 3
         P = int(cfg.get('POOL_MAX_KEYPOINTS', 64))
 
-        batch = self.proposal_layer(batch, training=training)
-        if training and 'gt_boxes' in batch:
-            batch['roi_targets'] = self.assign_targets(batch)
+        if not skip_proposals:  # PV-RCNN++ runs proposals before the pfe
+            batch = self.proposal_layer(batch, training=training)
+            if training and 'gt_boxes' in batch:
+                batch['roi_targets'] = self.assign_targets(batch)
         rois = batch['rois']                                     # (B, R, 7)
         B, R = rois.shape[:2]
 

@@ -528,3 +528,25 @@ def test_voxelnext_config_assembly(rng):
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_pvrcnn_plusplus(rng):
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'PVRCNNPlusPlus'
+    cfg.PFE.SAMPLE_METHOD = 'SPC'
+    cfg.PFE.SPC_SAMPLING = CfgNode({'SAMPLE_RADIUS_WITH_ROI': 4.0})
+    cfg.PFE.SA_LAYER.raw_points.AGGREGATION = 'VectorPoolAgg'
+    cfg.PFE.SA_LAYER.raw_points.LOCAL_GRID = 2
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
