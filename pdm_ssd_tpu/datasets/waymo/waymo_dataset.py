@@ -102,14 +102,23 @@ class WaymoDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        try:
-            from waymo_open_dataset.metrics.python import detection_metrics  # noqa: F401
-        except ImportError:
-            from ..custom.custom_dataset import CustomDataset
-            self.custom_infos = [
-                {'annos': {'gt_boxes_lidar': info.get('annos', {}).get(
-                    'gt_boxes_lidar', np.zeros((0, 7)))[:, :7]}}
-                for info in self.infos]
-            return CustomDataset.evaluation(self, det_annos, class_names, **kwargs)
-        raise NotImplementedError(
-            'official Waymo eval: run with the waymo-open-dataset devkit installed')
+        """Waymo-protocol AP/APH at LEVEL_1/LEVEL_2 via the devkit-free
+        implementation (`waymo_eval.py`); the reference defers to the Waymo
+        TF op (`pcdet/datasets/waymo/waymo_eval.py:23`), absent here."""
+        from .waymo_eval import evaluate_waymo
+        gt_annos = []
+        for info in self.infos:
+            annos = info.get('annos', {})
+            gt_annos.append({
+                'name': np.asarray(annos.get('name', np.zeros(0, dtype='<U16'))),
+                'boxes_3d': np.asarray(annos.get(
+                    'gt_boxes_lidar', np.zeros((0, 7))))[:, :7],
+                'num_points_in_gt': np.asarray(annos.get(
+                    'num_points_in_gt', np.zeros(0, np.int64))),
+            })
+        preds = [{'name': np.asarray(a.get('name', [])),
+                  'boxes_3d': np.asarray(a.get(
+                      'boxes_3d', a.get('boxes_lidar', np.zeros((0, 7)))))[:, :7],
+                  'score': np.asarray(a.get('score', []))}
+                 for a in det_annos]
+        return evaluate_waymo(gt_annos, preds, list(class_names))

