@@ -13,6 +13,7 @@ from .parta2 import PartA2Net
 from .second_iou import SECONDNetIoU
 from .bev_fusion import BevFusion
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
+from .caddn import CaDDN
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -41,6 +42,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'PVRCNNPlusPlus':
         return PVRCNNPlusPlus(model_cfg=model_cfg, num_class=num_class,
                               dataset_cfg=dataset_cfg, class_names=class_names)
+    if name == 'CaDDN':
+        return CaDDN(model_cfg=model_cfg, num_class=num_class,
+                     dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'VoxelNeXt', 'DSVT', 'TransFusion', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

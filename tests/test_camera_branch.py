@@ -142,3 +142,50 @@ def test_bevfusion_detector_e2e():
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_caddn_detector_e2e():
+    from pdm_ssd_tpu.models import build_network
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_detector3d_zoo import ds_cfg_voxel, make_batch, pointpillar_cfg
+
+    head = pointpillar_cfg().DENSE_HEAD
+    head.TARGET_ASSIGNER_CONFIG.FEATURE_MAP_STRIDE = 2
+    cfg = CfgNode({
+        'NAME': 'CaDDN',
+        'IMAGE_BACKBONE': {'NUM_FILTERS': [8, 16, 32], 'OUT_CHANNEL': 16},
+        'FRUSTUM': {'NUM_DEPTH_BINS': 8, 'DEPTH_MIN': 2.0, 'DEPTH_MAX': 40.0,
+                    'OUT_CHANNEL': 8},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                        'LAYER_STRIDES': [2], 'NUM_FILTERS': [16],
+                        'UPSAMPLE_STRIDES': [1], 'NUM_UPSAMPLE_FILTERS': [16]},
+        'DENSE_HEAD': head,
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.1,
+                           'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16}},
+    })
+    rng = np.random.RandomState(5)
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    B = 2
+    l2c = np.tile(np.array([[0., -1, 0, 0], [0, 0, -1, 0],
+                            [1, 0, 0, 0], [0, 0, 0, 1]], np.float32),
+                  (B, 1, 1))
+    c2i = np.tile(np.array([[60., 0, 48, 0], [0, 60., 32, 0],
+                            [0, 0, 1, 0]], np.float32), (B, 1, 1))
+    batch.update({
+        'camera_imgs': jnp.asarray(rng.rand(B, 1, 64, 96, 3), jnp.float32),
+        'trans_lidar_to_cam': jnp.asarray(l2c),
+        'trans_cam_to_img': jnp.asarray(c2i),
+    })
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
