@@ -14,6 +14,7 @@ from .second_iou import SECONDNetIoU
 from .bev_fusion import BevFusion
 from .pv_rcnn_plusplus import PVRCNNPlusPlus
 from .caddn import CaDDN
+from .mppnet import MPPNet
 
 
 def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
@@ -45,6 +46,9 @@ def build_detector(model_cfg, num_class, dataset_cfg, class_names=None):
     if name == 'CaDDN':
         return CaDDN(model_cfg=model_cfg, num_class=num_class,
                      dataset_cfg=dataset_cfg, class_names=class_names)
+    if name in ('MPPNet', 'MPPNetE2E'):
+        return MPPNet(model_cfg=model_cfg, num_class=num_class,
+                      dataset_cfg=dataset_cfg, class_names=class_names)
     if name in ('PointPillar', 'SECONDNet', 'CenterPoint', 'PillarNet',
                 'VoxelNeXt', 'DSVT', 'TransFusion', 'Detector3D'):
         return Detector3D(model_cfg=model_cfg, num_class=num_class,

@@ -103,9 +103,53 @@ class PDMSSD(nn.Module):
         return loss, tb
 
     def predict(self, batch: dict) -> dict:
-        """Single-apply eval path: forward + hybrid post-processing."""
+        """Single-apply eval path: forward + hybrid post-processing.
+
+        POST_PROCESSING.TTA_FLIP (e.g. ['y']) enables flip test-time
+        augmentation — the point-model analog of the reference's DOUBLE_FLIP
+        voxelization TTA (`data_processor.py:133`, consumed by CenterPoint):
+        the model runs on the flipped cloud in-graph, flipped detections are
+        mirrored back, and one joint NMS merges the variants."""
+        pp = as_cfg(self.model_cfg).POST_PROCESSING
+        flips = list(pp.get('TTA_FLIP', []))
         out = self(batch, training=False)
-        return self.post_process(out)
+        det = self.post_process(out)
+        if not flips:
+            return det
+        dets = [det]
+        for axis in flips:
+            assert axis in ('x', 'y'), axis
+            col = 0 if axis == 'x' else 1
+            fb = dict(batch)
+            pts = batch['points']
+            fb['points'] = pts.at[..., col].multiply(-1.0)
+            fdet = self.post_process(self(fb, training=False))
+            fboxes = fdet['pred_boxes'].at[..., col].multiply(-1.0)
+            # mirroring flips the heading: y-flip: th -> -th; x-flip: th -> pi - th
+            if axis == 'y':
+                fboxes = fboxes.at[..., 6].multiply(-1.0)
+            else:
+                fboxes = fboxes.at[..., 6].set(jnp.pi - fboxes[..., 6])
+            fdet = {**fdet, 'pred_boxes': fboxes}
+            dets.append(fdet)
+
+        boxes = jnp.concatenate([d['pred_boxes'] for d in dets], axis=1)
+        scores = jnp.concatenate([d['pred_scores'] for d in dets], axis=1)
+        labels = jnp.concatenate([d['pred_labels'] for d in dets], axis=1)
+        valid = jnp.concatenate([d['pred_mask'] for d in dets], axis=1)
+        nms_cfg = pp.NMS_CONFIG
+
+        def per_sample(b, s, l, v):
+            from ...ops import iou3d
+            idx, keep = iou3d.nms_bev(b, s, nms_cfg.NMS_THRESH,
+                                      pre_maxsize=nms_cfg.NMS_PRE_MAXSIZE,
+                                      post_maxsize=nms_cfg.NMS_POST_MAXSIZE,
+                                      valid=v)
+            return b[idx], s[idx] * keep, l[idx] * keep, keep
+
+        fb_, fs_, fl_, fm_ = jax.vmap(per_sample)(boxes, scores, labels, valid)
+        return {'pred_boxes': fb_, 'pred_scores': fs_, 'pred_labels': fl_,
+                'pred_mask': fm_}
 
     # ---- losses (pure; called through nn.apply-bound methods or directly) ----
 

@@ -583,3 +583,61 @@ def test_transfusion_head(rng):
     g = jax.grad(loss_fn)(variables['params'])
     total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_mppnet_multiframe(rng):
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'MPPNet'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD = CfgNode({
+        'NAME': 'MPPNetHead', 'CLASS_AGNOSTIC': True,
+        'NUM_FRAMES': 4, 'NUM_GROUPS': 2, 'SAMPLE_POINTS_PER_FRAME': 8,
+        'HIDDEN_CHANNEL': 16, 'NUM_HEADS': 2,
+        'SHARED_FC': [32], 'CLS_FC': [16], 'REG_FC': [16],
+        'NMS_CONFIG': {
+            'TRAIN': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.8,
+                      'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16},
+            'TEST': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.7,
+                     'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16}},
+        'TARGET_CONFIG': {
+            'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+            'SAMPLE_ROI_BY_EACH_CLASS': True, 'CLS_SCORE_TYPE': 'roi_iou',
+            'CLS_FG_THRESH': 0.75, 'CLS_BG_THRESH': 0.25,
+            'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+            'REG_FG_THRESH': 0.55},
+        'LOSS_CONFIG': {
+            'CLS_LOSS': 'BinaryCrossEntropy', 'REG_LOSS': 'smooth-l1',
+            'CORNER_LOSS_REGULARIZATION': True,
+            'LOSS_WEIGHTS': {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                             'rcnn_corner_weight': 1.0,
+                             'code_weights': [1.0] * 7}}})
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    # 4-frame ego-aligned stack with slight per-frame jitter
+    pts = np.asarray(batch['points'])
+    stack = np.stack([pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+                      for _ in range(4)], axis=1)
+    batch['points_multi_frame'] = jnp.asarray(stack)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
+
+    def loss_fn(p):
+        (l, _), _ = model.apply({'params': p,
+                                 'batch_stats': variables['batch_stats']},
+                                batch, training=True, mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(3)},
+                                method=model.forward_with_loss)
+        return l
+    g = jax.grad(loss_fn)(variables['params'])
+    total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
