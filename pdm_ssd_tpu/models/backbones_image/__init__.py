@@ -1,2 +1,3 @@
 from .image_backbone import ConvImageBackbone  # noqa: F401
 from .fuser import ConvFuser  # noqa: F401
+from .swin import SwinTransformer  # noqa: F401

@@ -20,7 +20,7 @@ from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import PointPillarScatter
 from ..backbones_3d.vfe import PillarVFE
-from ..backbones_image import ConvFuser, ConvImageBackbone
+from ..backbones_image import ConvFuser, ConvImageBackbone, SwinTransformer
 from ..dense_heads.center_head import CenterHead
 from ..view_transforms.depth_lss import DepthLSSTransform
 from .detector3d import Detector3D, _grid_info
@@ -37,7 +37,10 @@ class BevFusion(Detector3D):
         num_pf = ds.get('NUM_POINT_FEATURES', 4)
         (gw, gh, gd), voxel = _grid_info(ds)
 
-        self.image_backbone = ConvImageBackbone(model_cfg=cfg.IMAGE_BACKBONE)
+        if cfg.IMAGE_BACKBONE.get('NAME', '') == 'SwinTransformer':
+            self.image_backbone = SwinTransformer(model_cfg=cfg.IMAGE_BACKBONE)
+        else:
+            self.image_backbone = ConvImageBackbone(model_cfg=cfg.IMAGE_BACKBONE)
         self.view_transform = DepthLSSTransform(model_cfg=cfg.VTRANSFORM)
         self.vfe = PillarVFE(model_cfg=cfg.VFE, num_point_features=num_pf,
                              voxel_size=voxel, point_cloud_range=pc_range)

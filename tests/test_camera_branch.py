@@ -189,3 +189,31 @@ def test_caddn_detector_e2e():
     assert np.isfinite(float(loss))
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[-1] == 7
+
+
+def test_swin_transformer_backbone():
+    from pdm_ssd_tpu.models.backbones_image import SwinTransformer
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.rand(1, 2, 64, 96, 3), jnp.float32)
+    bb = SwinTransformer(model_cfg=CfgNode({
+        'EMBED_DIM': 24, 'DEPTHS': [2, 2, 2], 'NUM_HEADS': [2, 2, 4],
+        'WINDOW_SIZE': 4, 'PATCH_SIZE': 2, 'OUT_CHANNEL': 16}))
+    v = bb.init(jax.random.PRNGKey(0), imgs)
+    feats = bb.apply(v, imgs)
+    assert feats.shape == (1, 2, 8, 12, 16)
+    assert np.isfinite(np.asarray(feats)).all()
+
+    # shifted-window masking: two distant patches in different windows should
+    # not exchange information in a single non-shifted block, but the full
+    # stack (with shifts) must propagate a perturbation globally
+    imgs2 = imgs.at[0, 0, 0, 0, :].add(5.0)
+    f2 = bb.apply(v, imgs2)
+    delta = np.abs(np.asarray(f2 - feats))[0, 0]
+    assert delta.max() > 0
+    # shifted windows propagate beyond the original 4-cell window
+    assert delta[4:, :].sum() > 0 and delta[:, 5:].sum() > 0
+
+    g = jax.grad(lambda p: jnp.sum(bb.apply(
+        {'params': p}, imgs) ** 2))(v['params'])
+    total = sum(np.abs(np.asarray(x)).sum() for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
