@@ -155,6 +155,30 @@ class AnchorHeadSingle(nn.Module):
         thr = [(c['matched_threshold'], c['unmatched_threshold'])
                for c in cfg.ANCHOR_GENERATOR_CONFIG]
 
+        if tcfg.get('NAME') == 'ATSSTargetAssigner':
+            topk = int(tcfg.get('TOPK', 9))
+
+            def single_atss(gts, gmask):
+                labels, gt_of_anchor, pos = atss_assign_single(
+                    anchors, gts, gmask, topk, self.num_class,
+                    match_height=tcfg.get('MATCH_HEIGHT', False))
+                enc = self._coder().encode(gt_of_anchor[:, :7], anchors)
+                box_targets = jnp.where(pos[:, None], enc, 0.0)
+                dir_offset = cfg.get('DIR_OFFSET', 0.78539)
+                num_bins = cfg.get('NUM_DIR_BINS', 2)
+                offset_rot = limit_period(gt_of_anchor[:, 6] - dir_offset,
+                                          0, 2 * jnp.pi)
+                dir_targets = jnp.clip(
+                    (offset_rot / (2 * jnp.pi / num_bins)).astype(jnp.int32),
+                    0, num_bins - 1)
+                return labels, box_targets, dir_targets
+
+            labels, box_targets, dir_targets = jax.vmap(single_atss)(
+                gt_boxes, gt_mask)
+            return {'anchor_cls_labels': labels,
+                    'anchor_box_targets': box_targets,
+                    'anchor_dir_targets': dir_targets}
+
         def single(gts, gmask):
             iou = nearest_bev_iou(anchors, gts[:, :7])           # (A, M)
             gt_cls = gts[:, -1].astype(jnp.int32)                # 1-indexed
@@ -335,3 +359,67 @@ class AnchorHeadMulti(AnchorHeadSingle):
         if use_dir:
             batch['anchor_dir_preds'] = jnp.concatenate(dir_out, axis=1)
         return batch
+
+
+def atss_assign_single(anchors, gts, gmask, topk, num_class,
+                       match_height: bool = False):
+    """ATSS target assignment for one sample, fixed shapes
+    (`target_assigner/atss_target_assigner.py:75-147`): per gt, the top-k
+    center-closest anchors are candidates; the positive IoU threshold adapts
+    to mean+std of the candidate IoUs; candidates must also sit inside the
+    gt's BEV rectangle; anchors claimed by several gts keep the highest-IoU
+    one; every gt force-matches its best anchor (max-combining scatter).
+    IoU is the nearest-BEV form (same approximation as the axis-aligned
+    assigner here; the reference uses rotated BEV IoU).
+
+    Returns (labels (A,), gt_of_anchor (A, 8), reg_mask (A,)).
+    """
+    A = anchors.shape[0]
+    M = gts.shape[0]
+    iou = nearest_bev_iou(anchors[:, :7], gts[:, :7])          # (A, M)
+    iou = jnp.where(gmask[None, :], iou, -1.0)
+
+    dist = jnp.linalg.norm(anchors[:, None, :3] - gts[None, :, :3], axis=-1)
+    dist = jnp.where(gmask[None, :], dist, jnp.inf)
+    _, cand = jax.lax.top_k(-dist.T, topk)                     # (M, K)
+
+    cand_iou = jnp.take_along_axis(iou.T, cand, axis=1)        # (M, K)
+    mean = jnp.mean(cand_iou, axis=1, keepdims=True)
+    std = jnp.std(cand_iou, axis=1, keepdims=True)
+    is_pos = cand_iou >= (mean + std + 1e-6)
+
+    # candidate anchor centers inside the gt BEV rectangle
+    cxyz = jnp.take_along_axis(
+        jnp.broadcast_to(anchors[None, :, :3], (M, A, 3)),
+        cand[..., None], axis=1)                               # (M, K, 3)
+    local = cxyz - gts[:, None, :3]
+    c, s = jnp.cos(-gts[:, 6]), jnp.sin(-gts[:, 6])
+    lx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    ly = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    in_gt = (jnp.abs(lx) <= gts[:, None, 3] / 2) \
+        & (jnp.abs(ly) <= gts[:, None, 4] / 2)
+    is_pos = is_pos & in_gt & gmask[:, None]
+
+    # per-anchor best gt among claims (scatter-max of claimed IoUs)
+    flat = (cand + jnp.arange(M)[:, None] * A).reshape(-1)
+    claimed = jnp.full((M * A,), -jnp.inf)
+    claimed = claimed.at[flat].max(
+        jnp.where(is_pos, cand_iou, -jnp.inf).reshape(-1))
+    claimed = claimed.reshape(M, A).T                          # (A, M)
+    best_iou = jnp.max(claimed, axis=1)
+    best_gt = jnp.argmax(claimed, axis=1)
+
+    # force-match each gt's best anchor
+    gt_best_anchor = jnp.argmax(iou, axis=0)                   # (M,)
+    gt_best_iou = jnp.max(iou, axis=0)
+    force = jnp.zeros((A,), bool).at[gt_best_anchor].max(gmask)
+    forced_gt = jnp.zeros((A,), jnp.int32).at[gt_best_anchor].max(
+        jnp.where(gmask, jnp.arange(M, dtype=jnp.int32), 0))
+    forced_iou = jnp.zeros((A,)).at[gt_best_anchor].max(
+        jnp.where(gmask, gt_best_iou, 0.0))
+
+    pos = (best_iou > -jnp.inf) | force
+    gt_idx = jnp.where(force & (best_iou <= -jnp.inf), forced_gt, best_gt)
+    gt_of_anchor = gts[gt_idx]
+    labels = jnp.where(pos, gt_of_anchor[..., 7].astype(jnp.int32), 0)
+    return labels, gt_of_anchor, pos

@@ -641,3 +641,19 @@ def test_mppnet_multiframe(rng):
     g = jax.grad(loss_fn)(variables['params'])
     total = sum(np.abs(np.asarray(v)).sum() for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_atss_assigner(rng):
+    cfg = pointpillar_cfg()
+    cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.NAME = 'ATSSTargetAssigner'
+    cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.TOPK = 9
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert float(tb.get('anchor_loc_loss', 0.0)) > 0  # positives were matched
