@@ -137,6 +137,17 @@ class DatasetTemplate(object):
                     vmask[i, :len(v)] = True
                 ret[key] = out
                 ret.setdefault('voxel_mask', vmask)
+            elif key == 'gt_boxes2d':
+                M = self.max_gt_boxes
+                b2 = np.zeros((batch_size, M, 4), np.float32)
+                m2 = np.zeros((batch_size, M), bool)
+                for i, v in enumerate(val):
+                    n = min(len(v), M)
+                    if n > 0:
+                        b2[i, :n] = v[:n]
+                        m2[i, :n] = True
+                ret['gt_boxes2d'] = b2
+                ret['gt_boxes2d_mask'] = m2
             elif key in ['frame_id', 'calib', 'image_shape', 'use_lead_xyz',
                          'flip_x', 'flip_y', 'noise_rot', 'noise_scale']:
                 ret[key] = np.array(val) if key in ['frame_id', 'image_shape'] else val

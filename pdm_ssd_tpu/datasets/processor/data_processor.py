@@ -121,6 +121,50 @@ class DataProcessor:
             return dd
         return step
 
+    def _build_generate_depth_map(self, cfg):
+        """Lidar -> image-plane depth map for CaDDN's DDN supervision:
+        project points through the calib, keep the nearest depth per pixel
+        (the reference ships precomputed depth_maps; here they are derived
+        in-pipeline from the same lidar frame)."""
+        shape = cfg.get('MAP_SHAPE', None)        # (H, W) or None -> image
+
+        def step(dd):
+            calib = dd.get('calib')
+            pts = dd.get('points')
+            if calib is None or pts is None:
+                return dd
+            H, W = shape if shape is not None else dd['image_shape']
+            rect = calib.lidar_to_rect(pts[:, :3])
+            uv, depth = calib.rect_to_img(rect)
+            u = np.floor(uv[:, 0]).astype(np.int64)
+            v = np.floor(uv[:, 1]).astype(np.int64)
+            ok = (depth > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            dm = np.full((H * W,), 0.0, np.float32)
+            flat = v[ok] * W + u[ok]
+            order = np.argsort(-depth[ok], kind='stable')
+            dm[flat[order]] = depth[ok][order]    # nearest point wins
+            dd['depth_maps'] = dm.reshape(H, W)
+            return dd
+        return step
+
+    def _build_downsample_depth_map(self, cfg):
+        """`data_processor.py:222` (`downscale_local_mean`): block-mean
+        downsample of the depth map to the feature resolution."""
+        f = int(cfg.DOWNSAMPLE_FACTOR)
+        self.depth_downsample_factor = f
+
+        def step(dd):
+            dm = dd.get('depth_maps')
+            if dm is None:
+                return dd
+            H, W = dm.shape
+            Hp, Wp = (H + f - 1) // f * f, (W + f - 1) // f * f
+            pad = np.zeros((Hp, Wp), dm.dtype)
+            pad[:H, :W] = dm
+            dd['depth_maps'] = pad.reshape(Hp // f, f, Wp // f, f).mean((1, 3))
+            return dd
+        return step
+
     def _native_voxelize(self, points, vs, max_pts, max_voxels):
         try:
             from ...csrc import voxelize

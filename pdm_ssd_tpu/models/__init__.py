@@ -10,3 +10,35 @@ from .detectors import build_detector
 def build_network(model_cfg, num_class, dataset_cfg, class_names=None):
     return build_detector(model_cfg=model_cfg, num_class=num_class,
                           dataset_cfg=dataset_cfg, class_names=class_names)
+
+
+_SPARSE_BB_NAMES = ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x')
+
+
+def get_host_prepare(model_cfg, dataset_cfg):
+    """Per-batch host preprocessing for models whose device graph consumes
+    host-precomputed tables (the sparse ladder's kernel maps,
+    `ops/sparse_maps.py`). Returns a numpy batch->batch callable or None.
+    The train/eval loops apply it before `jax.device_put` — the TPU analog
+    of spconv building its rulebooks outside the conv kernels."""
+    bb = model_cfg.get('BACKBONE_3D', None)
+    if bb is None or bb.get('NAME') not in _SPARSE_BB_NAMES:
+        return None
+    import numpy as np
+    from .detectors.detector3d import _grid_info
+    from ..ops.sparse_maps import batch_build_backbone8x, default_caps
+    grid, _ = _grid_info(dataset_cfg)
+    caps_cfg = bb.get('ACTIVE_CAPS', None)
+
+    def prepare(batch):
+        if 'sp_submap1' in batch:
+            return batch
+        V = batch['voxel_coords'].shape[1]
+        caps = list(caps_cfg) if caps_cfg else default_caps(V)
+        caps[0] = V        # stage-1 slot table is the input voxel table
+        batch = dict(batch)
+        batch.update(batch_build_backbone8x(
+            np.asarray(batch['voxel_coords']),
+            np.asarray(batch['voxel_mask']), grid, caps))
+        return batch
+    return prepare

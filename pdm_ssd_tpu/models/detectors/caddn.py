@@ -4,9 +4,9 @@ Re-design of the reference `CaDDN` (`pcdet/models/detectors/caddn.py` +
 `backbones_3d/vfe/image_vfe.py` with its DDN/FFE/F2V modules):
 
 - image backbone (the DDN slot) produces image features; a depth head
-  predicts a categorical distribution over D depth bins (LID discretization,
-  `ffe/ddn_loss` supervision omitted: depth maps are not in the pipeline
-  here — the distribution trains through the detection loss);
+  predicts D+1 depth-bin logits (LID discretization; the extra class is
+  "beyond max range"), supervised by the DDN focal loss + fg/bg balancer
+  (`ops/depth.py`) against lidar-projected depth maps;
 - frustum features = depth distribution (outer) x channel features
   (`frustum_feature_extractor`);
 - FrustumToVoxel: each lidar-frame voxel center projects into the image
@@ -59,8 +59,12 @@ class CaDDN(Detector3D):
             input_channels=self.backbone_2d.num_bev_features,
             num_class=self.num_class, class_names=self.class_names,
             grid_size=(gw // stride, gh // stride), point_cloud_range=pc_range)
+        # D+1 logits: the extra "beyond max range" class supervised by the
+        # DDN loss (reference `depth_ffn.py:24` num_classes = num_bins + 1;
+        # the frustum drops it after softmax, `depth_ffn.py:86-88`)
         self.depth_head = nn.Conv(
-            self.depth_bins + self.frustum_channels, (1, 1), name='depth_head')
+            self.depth_bins + 1 + self.frustum_channels, (1, 1),
+            name='depth_head')
         self.module_list = []
 
     def _depth_to_bin(self, depth):
@@ -77,8 +81,12 @@ class CaDDN(Detector3D):
                                     training=training)[:, 0]  # (B, fH, fW, C)
         x = self.depth_head(feats)
         D, C = self.depth_bins, self.frustum_channels
-        depth_dist = jax.nn.softmax(x[..., :D], axis=-1)
-        ctx = x[..., D:D + C]
+        depth_logits = x[..., :D + 1]
+        batch['depth_logits'] = depth_logits
+        # softmax over D+1 then drop the "beyond range" bin (`depth_ffn.py:
+        # 86-88`)
+        depth_dist = jax.nn.softmax(depth_logits, axis=-1)[..., :D]
+        ctx = x[..., D + 1:D + 1 + C]
         frustum = depth_dist[..., None] * ctx[..., None, :]  # (B,fH,fW,D,C)
 
         B, fH, fW, _, _ = frustum.shape
@@ -137,3 +145,34 @@ class CaDDN(Detector3D):
         batch = self.backbone_2d(batch, training=training)
         batch = self.dense_head(batch, training=training)
         return batch
+
+    def get_training_loss(self, batch: dict):
+        """Detection loss + categorical depth supervision (`ddn_loss.py`):
+        multi-class focal over the D+1 depth bins against lidar-projected
+        depth-map targets, fg/bg-balanced by 2D gt boxes. Active whenever the
+        batch carries 'depth_maps' (host pipeline step `generate_depth_map`)."""
+        loss, tb = super().get_training_loss(batch)
+        cfg = as_cfg(self.model_cfg)
+        dcfg = cfg.get('DDN_LOSS', None)
+        if 'depth_maps' in batch and dcfg is not None:
+            from ...ops.depth import ddn_loss
+            dm = batch['depth_maps']
+            fH, fW = batch['depth_logits'].shape[1:3]
+            iH, iW = batch['camera_imgs'].shape[2:4]
+            factor = max(int(round(iH / fH)), 1)
+            dl, dtb = ddn_loss(
+                batch['depth_logits'], dm,
+                batch.get('gt_boxes2d', jnp.zeros((dm.shape[0], 1, 4))),
+                box_mask=batch.get('gt_boxes2d_mask'),
+                weight=dcfg.get('WEIGHT', 3.0),
+                alpha=dcfg.get('ALPHA', 0.25), gamma=dcfg.get('GAMMA', 2.0),
+                fg_weight=dcfg.get('FG_WEIGHT', 13.0),
+                bg_weight=dcfg.get('BG_WEIGHT', 1.0),
+                downsample_factor=factor,
+                disc_cfg={'mode': dcfg.get('MODE', 'LID'),
+                          'depth_min': self.depth_range[0],
+                          'depth_max': self.depth_range[1]})
+            loss = loss + dl
+            tb.update(dtb)
+            tb['loss'] = loss
+        return loss, tb

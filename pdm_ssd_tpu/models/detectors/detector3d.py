@@ -80,11 +80,19 @@ class Detector3D(nn.Module):
             vfe_out = num_pf
 
         if cfg.get('BACKBONE_3D') is not None:
-            if cfg.BACKBONE_3D.get('NAME') == 'GridPointBackbone':
+            bb_name = cfg.BACKBONE_3D.get('NAME')
+            if bb_name == 'GridPointBackbone':
                 bb3d = GridPointBackbone(model_cfg=cfg.BACKBONE_3D,
                                          input_channels=num_pf,
                                          pc_range=pc_range)
                 vfe_out = bb3d.num_point_features
+            elif bb_name in ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x'):
+                from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
+                bb3d = SparseVoxelBackBone8x(
+                    model_cfg=cfg.BACKBONE_3D, input_channels=vfe_out,
+                    grid_size=(gw, gh, gd),
+                    residual=(bb_name == 'SparseVoxelResBackBone8x'))
+                vfe_out = bb3d.num_bev_features
             else:
                 bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
                                             input_channels=vfe_out,

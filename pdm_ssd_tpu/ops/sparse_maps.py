@@ -1,0 +1,213 @@
+"""Host-side kernel-map builder for the TPU-native sparse voxel backbone.
+
+The reference's spconv layer (`pcdet/models/backbones_3d/spconv_backbone.py:
+70-180`) builds rulebooks (input->output index pairs per kernel tap) on the
+GPU at every forward. On TPU the right split is different: neighbor indices
+depend only on voxel *coordinates*, which are produced on the host by the
+voxelizer — so the whole ladder's kernel maps are precomputed here in
+vectorized numpy (sorted flat keys + `np.searchsorted`), once per sample,
+and shipped to the device as fixed-capacity int32 gather tables. The device
+graph is then pure gather + matmul (MXU) with zero dynamic shapes.
+
+Conventions:
+- coords are (V, 3) int32 **zyx** (spconv layout), sorted by flat key
+  `(z*H + y)*W + x`; invalid slots padded at the end.
+- every map entry indexes a slot in the producing stage's table, with the
+  one-past-the-end slot `cap` used as "absent neighbor" (the device pads the
+  feature table with a zero row at index `cap`).
+- active-site semantics match spconv exactly:
+  * SubMConv3d k3 p1: outputs at the input sites; tap (kz,ky,kx) reads the
+    neighbor at coord + (kz-1, ky-1, kx-1).
+  * SparseConv3d k s p: output site `o` is active iff any input lies in its
+    receptive field `o*s - p + k, k in [0,K)`; out dims are the standard
+    conv formula. (`spconv2` blocks: k3 s2 p1; `spconv4`: z-pad 0;
+    `conv_out`: k(3,1,1) s(2,1,1) p0.)
+- the input sparse z extent is `D + 1` exactly as the reference's
+  `sparse_shape = grid_size[::-1] + [1, 0, 0]`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ['build_backbone8x_maps', 'batch_build_backbone8x',
+           'ladder_shapes', 'LADDER_KEYS']
+
+
+def _flat(coords, dims):
+    """(V, 3) zyx -> flat key under dims (D, H, W)."""
+    _, H, W = dims
+    return (coords[:, 0].astype(np.int64) * H + coords[:, 1]) * W + coords[:, 2]
+
+
+def _lookup(sorted_keys, n_valid, queries):
+    """Indices into the sorted key array for each query, or `len(sorted_keys)`
+    (the pad slot) when absent. `sorted_keys[n_valid:]` is padding."""
+    cap = len(sorted_keys)
+    if n_valid <= 0:
+        return np.full(queries.shape, cap, np.int32)
+    keys = sorted_keys[:n_valid]
+    pos = np.searchsorted(keys, queries)
+    pos_c = np.minimum(pos, n_valid - 1)
+    hit = keys[pos_c] == queries
+    return np.where(hit, pos_c, cap).astype(np.int32)
+
+
+def _subm_map(coords, n_valid, dims, ksize):
+    """(cap, K) neighbor slots for a submanifold conv at the given sites."""
+    cap = len(coords)
+    kz, ky, kx = ksize
+    offs = np.stack(np.meshgrid(
+        np.arange(kz) - kz // 2, np.arange(ky) - ky // 2,
+        np.arange(kx) - kx // 2, indexing='ij'), -1).reshape(-1, 3)
+    K = len(offs)
+    nbr = coords[:, None, :] + offs[None, :, :]              # (cap, K, 3)
+    ok = np.all((nbr >= 0) & (nbr < np.asarray(dims)), axis=-1)
+    ok[n_valid:] = False
+    q = _flat(nbr.reshape(-1, 3), dims)
+    sk = _flat(coords, dims)
+    out = _lookup(sk, n_valid, q).reshape(cap, K)
+    return np.where(ok, out, cap).astype(np.int32)
+
+
+def _down_sites(coords, n_valid, dims, ksize, stride, pad, cap_out):
+    """Active output sites of a strided sparse conv: union over inputs of all
+    output cells whose receptive field covers them. Returns (coords_out
+    (cap_out,3) sorted by flat key, n_out, dims_out)."""
+    dims_out = tuple((d + 2 * p - k) // s + 1
+                     for d, k, s, p in zip(dims, ksize, stride, pad))
+    c = coords[:n_valid]
+    cand = None
+    # per-axis candidate outputs: o = (i + p - k)/s for each tap k
+    per_axis = []
+    for ax, (k, s, p) in enumerate(zip(ksize, stride, pad)):
+        num = c[:, ax:ax + 1] + p - np.arange(k)[None, :]    # (n, k)
+        ok = (num % s == 0) & (num >= 0)
+        o = num // s
+        ok &= o < dims_out[ax]
+        per_axis.append((o, ok))
+    oz, okz = per_axis[0]
+    oy, oky = per_axis[1]
+    ox, okx = per_axis[2]
+    # cross product of per-axis candidates (K = kz*ky*kx combos)
+    z = oz[:, :, None, None]
+    y = oy[:, None, :, None]
+    x = ox[:, None, None, :]
+    ok = okz[:, :, None, None] & oky[:, None, :, None] & okx[:, None, None, :]
+    flat = (z.astype(np.int64) * dims_out[1] + y) * dims_out[2] + x
+    flat = flat[ok]
+    uniq = np.unique(flat)
+    n_out = min(len(uniq), cap_out)
+    out = np.zeros((cap_out, 3), np.int32)
+    u = uniq[:n_out]
+    out[:n_out, 2] = u % dims_out[2]
+    out[:n_out, 1] = (u // dims_out[2]) % dims_out[1]
+    out[:n_out, 0] = u // (dims_out[2] * dims_out[1])
+    return out, n_out, dims_out
+
+
+def _down_map(coords_in, n_in, dims_in, coords_out, n_out, ksize, stride, pad):
+    """(cap_out, K) input slots read by each output site of a strided conv."""
+    cap_out = len(coords_out)
+    cap_in = len(coords_in)
+    taps = np.stack(np.meshgrid(*[np.arange(k) for k in ksize],
+                                indexing='ij'), -1).reshape(-1, 3)
+    K = len(taps)
+    s = np.asarray(stride)
+    p = np.asarray(pad)
+    src = coords_out[:, None, :] * s[None, None, :] - p[None, None, :] \
+        + taps[None, :, :]                                   # (cap_out, K, 3)
+    ok = np.all((src >= 0) & (src < np.asarray(dims_in)), axis=-1)
+    ok[n_out:] = False
+    q = _flat(src.reshape(-1, 3), dims_in)
+    sk = _flat(coords_in, dims_in)
+    out = _lookup(sk, n_in, q).reshape(cap_out, K)
+    return np.where(ok, out, cap_in).astype(np.int32)
+
+
+# stage spec of VoxelBackBone8x: (ksize, stride, pad) of each downsample
+_DOWN_SPECS = [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),   # conv2  ('spconv2')
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),   # conv3  ('spconv3')
+    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),   # conv4  ('spconv4', z-pad 0)
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),   # conv_out ('spconv_down2')
+]
+
+LADDER_KEYS = (
+    ['sp_perm1', 'sp_coords1', 'sp_mask1', 'sp_submap1']
+    + sum([[f'sp_coords{s}', f'sp_mask{s}', f'sp_downmap{s}', f'sp_submap{s}']
+           for s in (2, 3, 4)], [])
+    + ['sp_coords_out', 'sp_mask_out', 'sp_outmap']
+)
+
+
+def ladder_shapes(grid_size_whd):
+    """Per-stage (D, H, W) dims of the ladder, input z extended by +1
+    (reference `sparse_shape = grid_size[::-1] + [1, 0, 0]`)."""
+    W, H, D = (int(v) for v in grid_size_whd)
+    dims = [(D + 1, H, W)]
+    for ks, st, pd in _DOWN_SPECS:
+        d = dims[-1]
+        dims.append(tuple((dd + 2 * p - k) // s + 1
+                          for dd, k, s, p in zip(d, ks, st, pd)))
+    return dims   # [stage1, stage2, stage3, stage4, out]
+
+
+def build_backbone8x_maps(coords, n_valid, grid_size_whd, caps):
+    """One sample. coords: (cap1, 3) int32 zyx sorted by flat key (the
+    voxelizer contract), valid prefix length `n_valid`. caps: per-stage slot
+    capacities [cap1, cap2, cap3, cap4, cap_out]. Returns the LADDER_KEYS
+    dict of numpy arrays."""
+    dims = ladder_shapes(grid_size_whd)
+    cap1 = caps[0]
+    n1 = min(int(n_valid), cap1)
+    # stage-1 slots are the input voxels sorted by flat key (the searchsorted
+    # invariant); sp_perm1 reorders the device-side feature table to match
+    # (identity when the voxelizer already emits sorted coords)
+    keys_in = _flat(coords[:n1].astype(np.int32), dims[0])
+    order = np.argsort(keys_in, kind='stable').astype(np.int32)
+    c1 = np.zeros((cap1, 3), np.int32)
+    c1[:n1] = coords[:n1][order]
+    perm = np.zeros((cap1,), np.int32)
+    perm[:n1] = order
+    out = {
+        'sp_perm1': perm,
+        'sp_coords1': c1,
+        'sp_mask1': (np.arange(cap1) < n1),
+        'sp_submap1': _subm_map(c1, n1, dims[0], (3, 3, 3)),
+    }
+    prev_c, prev_n, prev_dims = c1, n1, dims[0]
+    for si, (spec, cap) in enumerate(zip(_DOWN_SPECS[:3], caps[1:4])):
+        s = si + 2
+        ks, st, pd = spec
+        c, n, d = _down_sites(prev_c, prev_n, prev_dims, ks, st, pd, cap)
+        out[f'sp_coords{s}'] = c
+        out[f'sp_mask{s}'] = (np.arange(cap) < n)
+        out[f'sp_downmap{s}'] = _down_map(prev_c, prev_n, prev_dims, c, n,
+                                          ks, st, pd)
+        out[f'sp_submap{s}'] = _subm_map(c, n, d, (3, 3, 3))
+        prev_c, prev_n, prev_dims = c, n, d
+    ks, st, pd = _DOWN_SPECS[3]
+    co, no, do = _down_sites(prev_c, prev_n, prev_dims, ks, st, pd, caps[4])
+    out['sp_coords_out'] = co
+    out['sp_mask_out'] = (np.arange(caps[4]) < no)
+    out['sp_outmap'] = _down_map(prev_c, prev_n, prev_dims, co, no, ks, st, pd)
+    return out
+
+
+def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps):
+    """Stack `build_backbone8x_maps` over the batch dim.
+    voxel_coords: (B, V, 3) zyx; voxel_mask: (B, V) bool."""
+    per = [build_backbone8x_maps(np.asarray(voxel_coords[b]),
+                                 int(np.sum(voxel_mask[b])),
+                                 grid_size_whd, caps)
+           for b in range(len(voxel_coords))]
+    return {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
+
+
+def default_caps(max_voxels):
+    """Per-stage slot capacities. Strided sparse convs *dilate* the active
+    set (each input can touch up to 8 output cells) before later stages
+    shrink it; measured on KITTI-like clouds the post-dilation counts stay
+    under these bounds."""
+    v = int(max_voxels)
+    return [v, v, (3 * v) // 4, v // 2, v // 2]

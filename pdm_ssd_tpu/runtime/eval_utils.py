@@ -39,7 +39,8 @@ def _recall_counts(pred_boxes, pred_mask, gt_boxes, gt_mask, thresh_list):
 
 
 def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
-                   logger=None, result_dir=None, thresh_list=(0.3, 0.5, 0.7)):
+                   logger=None, result_dir=None, thresh_list=(0.3, 0.5, 0.7),
+                   host_prepare=None):
     mesh = None
     predict = make_predict_step(model)
     det_annos = []
@@ -50,6 +51,8 @@ def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
 
     pad_b = None
     for i, batch in enumerate(dataloader):
+        if host_prepare is not None:
+            batch = host_prepare(batch)
         real_b = batch['batch_size']
         if mesh is None:
             # full mesh + batch padding: every chip stays busy, and the final

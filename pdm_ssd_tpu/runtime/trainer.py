@@ -40,8 +40,11 @@ def _filter_device_batch(batch: dict) -> dict:
     alongside voxels (PV-RCNN keypoints) must run a fixed-N `sample_points`
     step, which removes 'points_mask' and keeps the shape static."""
     keep = {'points', 'points_mask', 'gt_boxes', 'gt_mask',
-            'voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask'}
-    out = {k: v for k, v in batch.items() if k in keep}
+            'voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask',
+            'camera_imgs', 'trans_lidar_to_cam', 'trans_cam_to_img',
+            'depth_maps', 'gt_boxes2d', 'gt_boxes2d_mask'}
+    out = {k: v for k, v in batch.items()
+           if k in keep or k.startswith('sp_')}
     if 'voxels' in out and 'points_mask' in out:
         out.pop('points', None)
         out.pop('points_mask', None)
@@ -99,7 +102,8 @@ def make_predict_step(model):
 
 def train_model(model, state, tx, train_loader, total_epochs, rank0_logger=None,
                 ckpt_manager=None, start_epoch=0, log_interval=50,
-                tb_writer=None, lr_sched=None, hook_cfg=None, dataset=None):
+                tb_writer=None, lr_sched=None, hook_cfg=None, dataset=None,
+                host_prepare=None):
     """Epoch loop (`train_utils.train_model:150-211` analog)."""
     from .hooks import apply_epoch_hooks
     mesh = make_mesh()
@@ -113,6 +117,8 @@ def train_model(model, state, tx, train_loader, total_epochs, rank0_logger=None,
                               logger=rank0_logger)
         t0 = time.time()
         for it, batch in enumerate(train_loader):
+            if host_prepare is not None:
+                batch = host_prepare(batch)
             device_batch = shard_batch(_filter_device_batch(batch), mesh)
             state, metrics = train_step(state, device_batch)
             accumulated_iter += 1

@@ -1,0 +1,280 @@
+"""Sparse voxel backbone: host kernel-map builder + gather-matmul conv parity
+against brute-force / dense-conv oracles, plus a full SECOND assembly smoke.
+
+Parity logic: a submanifold conv over a zero-filled dense volume equals the
+dense 3D conv sampled at the active sites; a strided sparse conv equals the
+dense strided conv sampled at its (dilated) active output sites, and the
+dense output is zero everywhere else. These tests pin the map builder
+(`ops/sparse_maps.py`) and the device conv (`models/backbones_3d/
+sparse_backbone.py`) to those identities. Reference semantics:
+`pcdet/models/backbones_3d/spconv_backbone.py:70-180`.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pdm_ssd_tpu.ops import sparse_maps as sm
+from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
+    SparseConvBNReLU, gather_taps)
+
+
+def random_actives(rng, dims, n):
+    """n unique active cells in a (D, H, W) grid, coords zyx sorted by flat."""
+    D, H, W = dims
+    flat = rng.choice(D * H * W, size=min(n, D * H * W), replace=False)
+    flat.sort()
+    c = np.stack([flat // (H * W), (flat // W) % H, flat % W], -1)
+    return c.astype(np.int32)
+
+
+def test_subm_map_brute_force(rng):
+    dims = (5, 7, 6)
+    c = random_actives(rng, dims, 40)
+    cap = 48
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:40] = c
+    nbr = sm._subm_map(coords, 40, dims, (3, 3, 3))
+    assert nbr.shape == (cap, 27)
+    lut = {tuple(v): i for i, v in enumerate(c)}
+    k = 0
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                for i in range(40):
+                    q = (c[i, 0] + dz, c[i, 1] + dy, c[i, 2] + dx)
+                    want = lut.get(q, cap)
+                    assert nbr[i, k] == want, (i, k, q)
+                k += 1
+    assert (nbr[40:] == cap).all()
+
+
+def brute_down_sites(c, dims, ksize, stride, pad):
+    dims_out = tuple((d + 2 * p - k) // s + 1
+                     for d, k, s, p in zip(dims, ksize, stride, pad))
+    act = set(map(tuple, c))
+    out = set()
+    for oz in range(dims_out[0]):
+        for oy in range(dims_out[1]):
+            for ox in range(dims_out[2]):
+                o = (oz, oy, ox)
+                hit = False
+                for kz in range(ksize[0]):
+                    for ky in range(ksize[1]):
+                        for kx in range(ksize[2]):
+                            i = (oz * stride[0] - pad[0] + kz,
+                                 oy * stride[1] - pad[1] + ky,
+                                 ox * stride[2] - pad[2] + kx)
+                            if i in act:
+                                hit = True
+                if hit:
+                    out.add(o)
+    return out, dims_out
+
+
+@pytest.mark.parametrize('spec', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+])
+def test_down_sites_brute_force(rng, spec):
+    ksize, stride, pad = spec
+    dims = (7, 9, 8)
+    c = random_actives(rng, dims, 50)
+    cap_in, cap_out = 64, 256
+    coords = np.zeros((cap_in, 3), np.int32)
+    coords[:50] = c
+    co, n_out, dims_out = sm._down_sites(coords, 50, dims, ksize, stride,
+                                         pad, cap_out)
+    want, dims_want = brute_down_sites(c, dims, ksize, stride, pad)
+    assert dims_out == dims_want
+    got = set(map(tuple, co[:n_out]))
+    assert got == want
+    # maps: each tap of each output reads the correct input slot
+    dmap = sm._down_map(coords, 50, dims, co, n_out, ksize, stride, pad)
+    lut = {tuple(v): i for i, v in enumerate(c)}
+    taps = [(kz, ky, kx) for kz in range(ksize[0])
+            for ky in range(ksize[1]) for kx in range(ksize[2])]
+    for oi in range(n_out):
+        for ti, (kz, ky, kx) in enumerate(taps):
+            q = (co[oi, 0] * stride[0] - pad[0] + kz,
+                 co[oi, 1] * stride[1] - pad[1] + ky,
+                 co[oi, 2] * stride[2] - pad[2] + kx)
+            want_slot = lut.get(q, cap_in) \
+                if all(0 <= q[a] < dims[a] for a in range(3)) else cap_in
+            assert dmap[oi, ti] == want_slot
+
+
+def _dense_conv(vol, w, stride, pad):
+    """NDHWC dense conv oracle; w is (kz, ky, kx, Cin, Cout)."""
+    return jax.lax.conv_general_dilated(
+        vol[None], w, window_strides=stride,
+        padding=[(p, p) for p in pad],
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0]
+
+
+def test_subm_conv_matches_dense(rng):
+    dims = (5, 8, 9)
+    n, cap, Cin, Cout = 37, 48, 6, 10
+    c = random_actives(rng, dims, n)
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n] = c
+    nbr = sm._subm_map(coords, n, dims, (3, 3, 3))
+    feats = rng.randn(cap, Cin).astype(np.float32)
+    feats[n:] = 0
+    w = rng.randn(27 * Cin, Cout).astype(np.float32)
+
+    g = gather_taps(jnp.asarray(feats)[None], jnp.asarray(nbr)[None])[0]
+    sparse_out = np.asarray(g) @ w
+
+    vol = np.zeros(dims + (Cin,), np.float32)
+    vol[c[:, 0], c[:, 1], c[:, 2]] = feats[:n]
+    wd = w.reshape(3, 3, 3, Cin, Cout)
+    dense = np.asarray(_dense_conv(jnp.asarray(vol), jnp.asarray(wd),
+                                   (1, 1, 1), (1, 1, 1)))
+    np.testing.assert_allclose(sparse_out[:n],
+                               dense[c[:, 0], c[:, 1], c[:, 2]],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_matches_dense(rng):
+    dims = (6, 10, 12)
+    n, cap_in, cap_out, Cin, Cout = 43, 64, 256, 5, 7
+    ksize, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    c = random_actives(rng, dims, n)
+    coords = np.zeros((cap_in, 3), np.int32)
+    coords[:n] = c
+    co, n_out, dims_out = sm._down_sites(coords, n, dims, ksize, stride,
+                                         pad, cap_out)
+    dmap = sm._down_map(coords, n, dims, co, n_out, ksize, stride, pad)
+    feats = rng.randn(cap_in, Cin).astype(np.float32)
+    feats[n:] = 0
+    w = rng.randn(27 * Cin, Cout).astype(np.float32)
+
+    g = gather_taps(jnp.asarray(feats)[None], jnp.asarray(dmap)[None])[0]
+    sparse_out = np.asarray(g) @ w
+
+    vol = np.zeros(dims + (Cin,), np.float32)
+    vol[c[:, 0], c[:, 1], c[:, 2]] = feats[:n]
+    dense = np.asarray(_dense_conv(jnp.asarray(vol),
+                                   jnp.asarray(w.reshape(3, 3, 3, Cin, Cout)),
+                                   stride, pad))
+    assert dense.shape[:3] == dims_out
+    np.testing.assert_allclose(sparse_out[:n_out],
+                               dense[co[:n_out, 0], co[:n_out, 1],
+                                     co[:n_out, 2]],
+                               rtol=1e-4, atol=1e-4)
+    # dense output vanishes off the active set
+    m = np.zeros(dims_out, bool)
+    m[co[:n_out, 0], co[:n_out, 1], co[:n_out, 2]] = True
+    assert np.abs(dense[~m]).max() < 1e-5
+
+
+def test_ladder_shapes_kitti_005():
+    """The reference's 0.05 m KITTI regime: z 41 -> 21 -> 11 -> 5 -> 2
+    (`spconv_backbone.py` inline comments)."""
+    dims = sm.ladder_shapes((1408, 1600, 40))
+    assert [d[0] for d in dims] == [41, 21, 11, 5, 2]
+    assert dims[4][1:] == (200, 176)
+
+
+def test_perm_restores_unsorted_coords(rng):
+    dims = (5, 6, 7)
+    c = random_actives(rng, dims, 30)
+    shuf = rng.permutation(30)
+    coords = np.zeros((40, 3), np.int32)
+    coords[:30] = c[shuf]
+    maps = sm.build_backbone8x_maps(coords, 30, (7, 6, 4), [40, 40, 32, 16, 16])
+    np.testing.assert_array_equal(coords[maps['sp_perm1'][:30]],
+                                  maps['sp_coords1'][:30])
+    flat = sm._flat(maps['sp_coords1'][:30], sm.ladder_shapes((7, 6, 4))[0])
+    assert (np.diff(flat) > 0).all()
+
+
+def second_sparse_cfg():
+    from tests.test_detector3d_zoo import pointpillar_cfg
+    cfg = pointpillar_cfg()
+    cfg['NAME'] = 'SECONDNet'
+    del cfg['MAP_TO_BEV']
+    cfg['VFE'] = {'NAME': 'MeanVFE'}
+    cfg['BACKBONE_3D'] = {'NAME': 'SparseVoxelBackBone8x',
+                          'NUM_FILTERS': [4, 8, 8, 8], 'OUT_FEATURES': 8}
+    cfg['BACKBONE_2D'] = {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                          'LAYER_STRIDES': [1], 'NUM_FILTERS': [16],
+                          'UPSAMPLE_STRIDES': [1], 'NUM_UPSAMPLE_FILTERS': [16]}
+    cfg['DENSE_HEAD']['TARGET_ASSIGNER_CONFIG']['FEATURE_MAP_STRIDE'] = 8
+    return cfg
+
+
+def ds_cfg_fine():
+    from pdm_ssd_tpu.utils.config import CfgNode
+    return CfgNode({
+        'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+        'NUM_POINT_FEATURES': 4,
+        'DATA_PROCESSOR': [
+            {'NAME': 'transform_points_to_voxels',
+             'VOXEL_SIZE': [0.5, 0.5, 0.16666667],
+             'MAX_POINTS_PER_VOXEL': 5,
+             'MAX_NUMBER_OF_VOXELS': {'train': 256, 'test': 256}},
+        ],
+    })
+
+
+@pytest.mark.parametrize('residual', [False, True])
+def test_second_sparse_assembly(rng, residual):
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
+    from tests.test_detector3d_zoo import make_batch
+    cfg = second_sparse_cfg()
+    if residual:
+        cfg['BACKBONE_3D']['NAME'] = 'SparseVoxelResBackBone8x'
+    ds = ds_cfg_fine()
+    model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    # re-voxelize points at the fine grid so coords live on it
+    B, V = 2, 256
+    coords = np.zeros((B, V, 3), np.int32)
+    feats_pts = np.zeros((B, V, 5, 4), np.float32)
+    nump = np.zeros((B, V), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for b in range(B):
+        pts = np.asarray(batch['points'][b])
+        cell = np.floor((pts[:, :3] - [0, -16, -3]) / [0.5, 0.5, 4 / 24]).astype(int)
+        ok = np.all((cell >= 0) & (cell < [64, 64, 24]), 1)
+        pts, cell = pts[ok], cell[ok]
+        flat = (cell[:, 2] * 64 + cell[:, 1]) * 64 + cell[:, 0]
+        order = np.argsort(flat, kind='stable')
+        pts, cell, flat = pts[order], cell[order], flat[order]
+        _, starts, counts = np.unique(flat, return_index=True,
+                                      return_counts=True)
+        nv = min(len(starts), V)
+        for i in range(nv):
+            k = min(counts[i], 5)
+            feats_pts[b, i, :k] = pts[starts[i]:starts[i] + k]
+            nump[b, i] = k
+        coords[b, :nv] = cell[starts[:nv]][:, ::-1]
+        vmask[b, :nv] = True
+    batch.update({'voxels': jnp.asarray(feats_pts),
+                  'voxel_coords': jnp.asarray(coords),
+                  'voxel_num_points': jnp.asarray(nump),
+                  'voxel_mask': jnp.asarray(vmask)})
+    prepare = get_host_prepare(cfg, ds)
+    assert prepare is not None
+    batch = prepare({k: np.asarray(v) for k, v in batch.items()})
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(
+        {'params': p, 'batch_stats': variables['batch_stats']}, batch,
+        training=True, mutable=['batch_stats'],
+        method=model.forward_with_loss)[0][0])(variables['params'])
+    gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[0] == 2

@@ -61,7 +61,7 @@ def main():
     args = parser.parse_args()
 
     import jax
-    from pdm_ssd_tpu.models import build_network
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
     from pdm_ssd_tpu.runtime import trainer
 
     cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
@@ -75,7 +75,8 @@ def main():
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset_cfg=cfg.DATA_CONFIG,
                           class_names=cfg.CLASS_NAMES)
-    example = demo_dataset.collate_batch([demo_dataset[0]])
+    host_prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG) or (lambda b: b)
+    example = host_prepare(demo_dataset.collate_batch([demo_dataset[0]]))
     state, tx, _ = trainer.create_train_state(
         model, trainer._filter_device_batch(example), cfg.OPTIMIZATION, 1, 1)
     if args.ckpt:
@@ -85,7 +86,7 @@ def main():
 
     predict = trainer.make_predict_step(model)
     for idx in range(len(demo_dataset)):
-        batch = demo_dataset.collate_batch([demo_dataset[idx]])
+        batch = host_prepare(demo_dataset.collate_batch([demo_dataset[idx]]))
         dets = jax.device_get(predict(state.params, state.batch_stats,
                                       trainer._filter_device_batch(batch)))
         mask = dets['pred_mask'][0]

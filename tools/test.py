@@ -47,7 +47,7 @@ def main():
     args, cfg = parse_config()
     import jax
     from pdm_ssd_tpu.datasets import build_dataloader
-    from pdm_ssd_tpu.models import build_network
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
     from pdm_ssd_tpu.runtime import trainer, eval_utils
 
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU * jax.device_count()
@@ -66,7 +66,10 @@ def main():
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset_cfg=cfg.DATA_CONFIG,
                           class_names=cfg.CLASS_NAMES)
+    host_prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
     example_batch = next(iter(test_loader))
+    if host_prepare is not None:
+        example_batch = host_prepare(example_batch)
     state, tx, _ = trainer.create_train_state(
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
         total_iters_each_epoch=1, total_epochs=1)
@@ -77,7 +80,8 @@ def main():
             jax.profiler.start_trace(str(eval_dir / 'profile'))
         ret = eval_utils.eval_one_epoch(
             model, state.params, state.batch_stats, test_loader, test_set,
-            cfg.CLASS_NAMES, logger=logger, result_dir=eval_dir)
+            cfg.CLASS_NAMES, logger=logger, result_dir=eval_dir,
+            host_prepare=host_prepare)
         if args.profile:
             import jax
             jax.profiler.stop_trace()

@@ -51,7 +51,7 @@ def main():
     args, cfg = parse_config()
     import jax
     from pdm_ssd_tpu.datasets import build_dataloader
-    from pdm_ssd_tpu.models import build_network
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
     from pdm_ssd_tpu.runtime import trainer
 
     if args.fix_random_seed:
@@ -81,7 +81,10 @@ def main():
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset_cfg=cfg.DATA_CONFIG,
                           class_names=cfg.CLASS_NAMES)
+    host_prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
     example_batch = next(iter(train_loader))
+    if host_prepare is not None:
+        example_batch = host_prepare(example_batch)
     state, tx, lr_sched = trainer.create_train_state(
         model, trainer._filter_device_batch(example_batch), cfg.OPTIMIZATION,
         total_iters_each_epoch=len(train_loader), total_epochs=epochs)
@@ -109,7 +112,7 @@ def main():
                         rank0_logger=logger, ckpt_manager=ckpt_manager,
                         start_epoch=start_epoch, tb_writer=tb_writer,
                         lr_sched=lr_sched, hook_cfg=cfg.get('HOOK'),
-                        dataset=train_set)
+                        dataset=train_set, host_prepare=host_prepare)
     if args.profile:
         jax.profiler.stop_trace()
         logger.info(f"profiler trace written to {output_dir / 'profile'}")
