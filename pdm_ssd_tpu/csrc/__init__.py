@@ -57,6 +57,11 @@ def lib():
                                i32p, ctypes.c_int, ctypes.c_int, f32p, i32p,
                                i32p]
         L.voxelize.restype = ctypes.c_int
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS')
+        L.build_ladder_maps.argtypes = (
+            [i32p, ctypes.c_int, i32p, i32p, i32p, i32p, u8p, i32p]
+            + [i32p, u8p, i32p, i32p] * 3 + [i32p, u8p, i32p])
+        L.build_ladder_maps.restype = ctypes.c_int
         _LIB = L
         return L
 
@@ -102,3 +107,40 @@ def voxelize(points: np.ndarray, voxel_size, range_min, grid, max_pts, max_vox):
                        np.ascontiguousarray(grid, np.int32),
                        int(max_pts), int(max_vox), voxels, coords, num)
     return voxels[:n_vox], coords[:n_vox], num[:n_vox]
+
+
+def build_ladder_maps(coords, n_in, dims0, caps):
+    """Native sparse-ladder kernel-map builder (one sample); see
+    `ops/sparse_maps.build_backbone8x_maps` for the contract. Returns the
+    LADDER_KEYS dict (bool masks) or None when no compiler is available."""
+    L = lib()
+    if L is None or not hasattr(L, 'build_ladder_maps'):
+        return None
+    c = np.ascontiguousarray(coords[:n_in], np.int32)
+    dims0 = np.ascontiguousarray(dims0, np.int32)
+    caps = [int(x) for x in caps]
+    caps_arr = np.ascontiguousarray(caps, np.int32)
+    out = {
+        'sp_perm1': np.zeros(caps[0], np.int32),
+        'sp_coords1': np.zeros((caps[0], 3), np.int32),
+        'sp_mask1': np.zeros(caps[0], np.uint8),
+        'sp_submap1': np.zeros((caps[0], 27), np.int32),
+    }
+    for s_, cap in zip((2, 3, 4), caps[1:4]):
+        out[f'sp_coords{s_}'] = np.zeros((cap, 3), np.int32)
+        out[f'sp_mask{s_}'] = np.zeros(cap, np.uint8)
+        out[f'sp_downmap{s_}'] = np.zeros((cap, 27), np.int32)
+        out[f'sp_submap{s_}'] = np.zeros((cap, 27), np.int32)
+    out['sp_coords_out'] = np.zeros((caps[4], 3), np.int32)
+    out['sp_mask_out'] = np.zeros(caps[4], np.uint8)
+    out['sp_outmap'] = np.zeros((caps[4], 3), np.int32)
+    L.build_ladder_maps(
+        c, int(len(c)), dims0, caps_arr,
+        out['sp_perm1'], out['sp_coords1'], out['sp_mask1'], out['sp_submap1'],
+        out['sp_coords2'], out['sp_mask2'], out['sp_downmap2'], out['sp_submap2'],
+        out['sp_coords3'], out['sp_mask3'], out['sp_downmap3'], out['sp_submap3'],
+        out['sp_coords4'], out['sp_mask4'], out['sp_downmap4'], out['sp_submap4'],
+        out['sp_coords_out'], out['sp_mask_out'], out['sp_outmap'])
+    for k in ('sp_mask1', 'sp_mask2', 'sp_mask3', 'sp_mask4', 'sp_mask_out'):
+        out[k] = out[k].astype(bool)
+    return out

@@ -158,3 +158,213 @@ int voxelize(const float *points, int n, int nf, const float *voxel_size,
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// Sparse-ladder kernel-map builder (host side of
+// pdm_ssd_tpu/ops/sparse_maps.py — see that file for the semantics; this is
+// the O(V*27) hash-table fast path, ~100x the numpy searchsorted builder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Hash {
+  // open-addressing, power-of-two, linear probing; key -1 = empty
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  int64_t mask;
+  explicit Hash(int n) {
+    int64_t cap = 64;
+    while (cap < (int64_t)n * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+  static inline int64_t mix(int64_t k) {
+    uint64_t h = (uint64_t)k * 0x9E3779B97F4A7C15ull;
+    return (int64_t)(h ^ (h >> 31));
+  }
+  inline void put(int64_t k, int32_t v) {
+    int64_t i = mix(k) & mask;
+    while (keys[i] != -1) i = (i + 1) & mask;
+    keys[i] = k;
+    vals[i] = v;
+  }
+  inline int32_t get(int64_t k) const {
+    int64_t i = mix(k) & mask;
+    while (keys[i] != -1) {
+      if (keys[i] == k) return vals[i];
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+struct Stage {
+  std::vector<int32_t> coords;  // (n, 3) zyx sorted by flat
+  int n = 0;
+  int64_t D = 0, H = 0, W = 0;
+  Hash table{1};
+  inline int64_t flat(int64_t z, int64_t y, int64_t x) const {
+    return (z * H + y) * W + x;
+  }
+  void build_table() {
+    table = Hash(n > 0 ? n : 1);
+    for (int i = 0; i < n; ++i)
+      table.put(flat(coords[i * 3], coords[i * 3 + 1], coords[i * 3 + 2]), i);
+  }
+};
+
+// submanifold 3x3x3 neighbor map; out (cap, 27), absent -> cap
+void subm_map(const Stage &s, int cap, int32_t *out) {
+  std::fill(out, out + (int64_t)cap * 27, cap);
+  for (int i = 0; i < s.n; ++i) {
+    int64_t z = s.coords[i * 3], y = s.coords[i * 3 + 1],
+            x = s.coords[i * 3 + 2];
+    int k = 0;
+    for (int dz = -1; dz <= 1; ++dz)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx, ++k) {
+          int64_t nz = z + dz, ny = y + dy, nx = x + dx;
+          if (nz < 0 || nz >= s.D || ny < 0 || ny >= s.H || nx < 0 ||
+              nx >= s.W)
+            continue;
+          int32_t v = s.table.get(s.flat(nz, ny, nx));
+          if (v >= 0) out[(int64_t)i * 27 + k] = v;
+        }
+  }
+}
+
+// strided sparse-conv output sites + per-tap input map
+void down_stage(const Stage &in, const int *ks, const int *st, const int *pd,
+                int cap_out, Stage &out, int32_t *map /* (cap_out, K) */) {
+  out.D = (in.D + 2 * pd[0] - ks[0]) / st[0] + 1;
+  out.H = (in.H + 2 * pd[1] - ks[1]) / st[1] + 1;
+  out.W = (in.W + 2 * pd[2] - ks[2]) / st[2] + 1;
+  std::vector<int64_t> cand;
+  cand.reserve((size_t)in.n * ks[0] * ks[1] * ks[2]);
+  for (int i = 0; i < in.n; ++i) {
+    int64_t c[3] = {in.coords[i * 3], in.coords[i * 3 + 1],
+                    in.coords[i * 3 + 2]};
+    int64_t lims[3] = {out.D, out.H, out.W};
+    int64_t oz[3], oy[3], ox[3];
+    int nz = 0, ny = 0, nx = 0;
+    for (int k = 0; k < ks[0]; ++k) {
+      int64_t num = c[0] + pd[0] - k;
+      if (num >= 0 && num % st[0] == 0 && num / st[0] < lims[0])
+        oz[nz++] = num / st[0];
+    }
+    for (int k = 0; k < ks[1]; ++k) {
+      int64_t num = c[1] + pd[1] - k;
+      if (num >= 0 && num % st[1] == 0 && num / st[1] < lims[1])
+        oy[ny++] = num / st[1];
+    }
+    for (int k = 0; k < ks[2]; ++k) {
+      int64_t num = c[2] + pd[2] - k;
+      if (num >= 0 && num % st[2] == 0 && num / st[2] < lims[2])
+        ox[nx++] = num / st[2];
+    }
+    for (int a = 0; a < nz; ++a)
+      for (int b = 0; b < ny; ++b)
+        for (int d = 0; d < nx; ++d)
+          cand.push_back((oz[a] * out.H + oy[b]) * out.W + ox[d]);
+  }
+  std::sort(cand.begin(), cand.end());
+  cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
+  out.n = (int)std::min<size_t>(cand.size(), (size_t)cap_out);
+  out.coords.assign((size_t)cap_out * 3, 0);
+  for (int i = 0; i < out.n; ++i) {
+    int64_t f = cand[i];
+    out.coords[i * 3 + 2] = (int32_t)(f % out.W);
+    out.coords[i * 3 + 1] = (int32_t)((f / out.W) % out.H);
+    out.coords[i * 3 + 0] = (int32_t)(f / (out.W * out.H));
+  }
+  out.build_table();
+  const int K = ks[0] * ks[1] * ks[2];
+  const int cap_in_slot = (int)(in.coords.size() / 3);
+  std::fill(map, map + (int64_t)cap_out * K, cap_in_slot);
+  for (int i = 0; i < out.n; ++i) {
+    int64_t z = out.coords[i * 3], y = out.coords[i * 3 + 1],
+            x = out.coords[i * 3 + 2];
+    int k = 0;
+    for (int kz = 0; kz < ks[0]; ++kz)
+      for (int ky = 0; ky < ks[1]; ++ky)
+        for (int kx = 0; kx < ks[2]; ++kx, ++k) {
+          int64_t sz = z * st[0] - pd[0] + kz, sy = y * st[1] - pd[1] + ky,
+                  sx = x * st[2] - pd[2] + kx;
+          if (sz < 0 || sz >= in.D || sy < 0 || sy >= in.H || sx < 0 ||
+              sx >= in.W)
+            continue;
+          int32_t v = in.table.get(in.flat(sz, sy, sx));
+          if (v >= 0) map[(int64_t)i * K + k] = v;
+        }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One sample of build_backbone8x_maps (sparse_maps.py). Returns 0.
+// coords: (n_in, 3) zyx (any order); dims0 = (D+1, H, W); caps (5).
+int build_ladder_maps(
+    const int32_t *coords, int n_in, const int32_t *dims0,
+    const int32_t *caps, int32_t *perm1, int32_t *coords1, uint8_t *mask1,
+    int32_t *submap1, int32_t *coords2, uint8_t *mask2, int32_t *downmap2,
+    int32_t *submap2, int32_t *coords3, uint8_t *mask3, int32_t *downmap3,
+    int32_t *submap3, int32_t *coords4, uint8_t *mask4, int32_t *downmap4,
+    int32_t *submap4, int32_t *coords_out, uint8_t *mask_out,
+    int32_t *outmap) {
+  const int specs[4][3][3] = {
+      {{3, 3, 3}, {2, 2, 2}, {1, 1, 1}},
+      {{3, 3, 3}, {2, 2, 2}, {1, 1, 1}},
+      {{3, 3, 3}, {2, 2, 2}, {0, 1, 1}},
+      {{3, 1, 1}, {2, 1, 1}, {0, 0, 0}},
+  };
+  Stage s1;
+  s1.D = dims0[0];
+  s1.H = dims0[1];
+  s1.W = dims0[2];
+  int n1 = std::min(n_in, caps[0]);
+  // sort input slots by flat key; perm1 maps sorted slot -> input slot
+  std::vector<std::pair<int64_t, int32_t>> order(n1);
+  for (int i = 0; i < n1; ++i)
+    order[i] = {s1.flat(coords[i * 3], coords[i * 3 + 1], coords[i * 3 + 2]),
+                i};
+  std::sort(order.begin(), order.end());
+  s1.n = n1;
+  s1.coords.assign((size_t)caps[0] * 3, 0);
+  std::fill(perm1, perm1 + caps[0], 0);
+  std::fill(mask1, mask1 + caps[0], 0);
+  for (int i = 0; i < n1; ++i) {
+    int32_t src = order[i].second;
+    perm1[i] = src;
+    mask1[i] = 1;
+    for (int a = 0; a < 3; ++a) s1.coords[i * 3 + a] = coords[src * 3 + a];
+  }
+  std::memcpy(coords1, s1.coords.data(), sizeof(int32_t) * (size_t)caps[0] * 3);
+  s1.build_table();
+  subm_map(s1, caps[0], submap1);
+
+  Stage s2, s3, s4, so;
+  Stage *stages[4] = {&s2, &s3, &s4, &so};
+  Stage *prev = &s1;
+  int32_t *coord_out[4] = {coords2, coords3, coords4, coords_out};
+  uint8_t *mask_arr[4] = {mask2, mask3, mask4, mask_out};
+  int32_t *down_arr[4] = {downmap2, downmap3, downmap4, outmap};
+  int32_t *subm_arr[4] = {submap2, submap3, submap4, nullptr};
+  for (int t = 0; t < 4; ++t) {
+    Stage &cur = *stages[t];
+    down_stage(*prev, specs[t][0], specs[t][1], specs[t][2], caps[t + 1], cur,
+               down_arr[t]);
+    std::memcpy(coord_out[t], cur.coords.data(),
+                sizeof(int32_t) * (size_t)caps[t + 1] * 3);
+    std::fill(mask_arr[t], mask_arr[t] + caps[t + 1], 0);
+    std::fill(mask_arr[t], mask_arr[t] + cur.n, 1);
+    if (subm_arr[t]) subm_map(cur, caps[t + 1], subm_arr[t]);
+    prev = &cur;
+  }
+  return 0;
+}
+
+}  // extern "C"

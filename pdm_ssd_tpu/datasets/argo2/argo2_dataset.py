@@ -1,10 +1,10 @@
 """Argoverse 2 dataset (structure parity with
 `pcdet/datasets/argo2/argo2_dataset.py`).
 
-The reference reads feather files through the av2 devkit; absent here,
-loading is info-pkl driven ('lidar_path' bin/npy, 'gt_boxes' (N, 7),
-'gt_names'). Evaluation: Argo2's official CDS needs the av2 devkit; the
-distance-matched mAP/NDS protocol implementation
+Raw feather sweeps/annotations are parsed devkit-free through pandas
+(`argo2_utils.py`: info creation + per-sweep cuboids); legacy bin/npy info
+pkls keep working. Evaluation: Argo2's official CDS needs the av2 devkit;
+the distance-matched mAP/NDS protocol implementation
 (`nuscenes/nuscenes_eval.py`) reports the matched-AP portion.
 """
 from __future__ import annotations
@@ -38,6 +38,12 @@ class Argo2Dataset(DatasetTemplate):
         path = self.root_path / info['lidar_path']
         if path.suffix == '.npy':
             pts = np.load(str(path))
+        elif path.suffix == '.feather':
+            from .argo2_utils import read_lidar_sweep
+            pts = read_lidar_sweep(path)
+            if pts.shape[1] == 3:
+                pts = np.concatenate(
+                    [pts, np.zeros((len(pts), 1), np.float32)], 1)
         else:
             pts = np.fromfile(str(path), dtype=np.float32).reshape(-1, 4)
         return pts[:, :4].astype(np.float32)

@@ -62,6 +62,15 @@ class DataBaseSampler:
         self.logger = logger
         self.use_road_plane = sampler_cfg.get('USE_ROAD_PLANE', False)
         self.limit_whole_scene = sampler_cfg.get('LIMIT_WHOLE_SCENE', False)
+        # shared-memory GT database (`database_sampler.py:84-99`): the
+        # reference SharedArray's /dev/shm copy becomes a memory-mapped npy
+        # in /dev/shm — one physical copy shared by all dataloader workers
+        # through the page cache
+        self.db_data = None
+        if sampler_cfg.get('USE_SHARED_MEMORY', False) and \
+                sampler_cfg.get('DB_DATA_PATH'):
+            self.db_data = self._load_db_to_shared_memory(
+                sampler_cfg.DB_DATA_PATH[0])
 
         by_class = {name: [] for name in class_names}
         for rel in sampler_cfg.DB_INFO_PATH:
@@ -85,6 +94,24 @@ class DataBaseSampler:
             if name in class_names:
                 self.quota[name] = int(num)
                 self.pools[name] = _RoundRobinPool(by_class[name])
+
+    def _load_db_to_shared_memory(self, rel):
+        import shutil
+        src = self.root_path.resolve() / rel
+        if not src.exists():
+            if self.logger is not None:
+                self.logger.warning(f'DB data not found: {src}')
+            return None
+        shm = Path('/dev/shm') / rel.replace('/', '_')
+        try:
+            if not shm.exists():
+                shutil.copyfile(src, shm)
+            arr = np.load(shm, mmap_mode='r')
+        except OSError:
+            arr = np.load(src, mmap_mode='r')
+        if self.logger is not None:
+            self.logger.info('GT database mapped from shared memory')
+        return arr
 
     # ---- PREPARE filters (names are config keys) ----
 
@@ -123,11 +150,17 @@ class DataBaseSampler:
         n_feat = self.sampler_cfg.NUM_POINT_FEATURES
         crops, ok = [], []
         for i, info in enumerate(infos):
-            path = self.root_path / info['path']
-            if not path.exists():
-                ok.append(False)
-                continue
-            pts = np.fromfile(str(path), dtype=np.float32).reshape(-1, n_feat).copy()
+            if self.db_data is not None and 'global_data_offset' in info:
+                lo, hi = info['global_data_offset']
+                pts = np.array(self.db_data[lo:hi], np.float32).reshape(
+                    -1, n_feat)
+            else:
+                path = self.root_path / info['path']
+                if not path.exists():
+                    ok.append(False)
+                    continue
+                pts = np.fromfile(str(path), dtype=np.float32).reshape(
+                    -1, n_feat).copy()
             pts[:, :3] += boxes[i, :3]
             pts[:, 2] -= dz[i]
             crops.append(pts)

@@ -122,3 +122,107 @@ class WaymoDataset(DatasetTemplate):
                   'score': np.asarray(a.get('score', []))}
                  for a in det_annos]
         return evaluate_waymo(gt_annos, preds, list(class_names))
+
+    # ---- raw-data tooling (`pcdet/datasets/waymo/waymo_dataset.py:400-560`) ----
+
+    def get_infos(self, raw_data_path, save_path, num_workers=4,
+                  has_label=True, sampled_interval=1):
+        """Extract every sequence of the current split to per-frame npy +
+        sequence info pkls (multiprocess over sequences, mirroring the
+        reference's `ProcessPoolExecutor` fan-out)."""
+        from functools import partial
+        from concurrent.futures import ThreadPoolExecutor
+        from .waymo_utils import process_single_sequence
+        fn = partial(process_single_sequence, save_path=save_path,
+                     sampled_interval=sampled_interval, has_label=has_label)
+        seq_files = [Path(raw_data_path) / x for x in self.sample_sequence_list]
+        with ThreadPoolExecutor(num_workers) as ex:
+            all_infos = list(ex.map(fn, seq_files))
+        return [i for seq in all_infos for i in seq]
+
+    def create_groundtruth_database(self, info_path, save_path,
+                                    used_classes=None, split='train'):
+        """Per-object point crops + dbinfos pkl for GT sampling
+        (`waymo_dataset.py:create_groundtruth_database`); devkit-free (runs
+        on extracted npy data)."""
+        from ..kitti import kitti_utils
+        save_path = Path(save_path)
+        db_save_path = save_path / f'gt_database_{split}'
+        db_info_save_path = save_path / f'waymo_dbinfos_{split}.pkl'
+        db_save_path.mkdir(parents=True, exist_ok=True)
+        with open(info_path, 'rb') as f:
+            infos = pickle.load(f)
+        all_db_infos = {}
+        for k, info in enumerate(infos):
+            pc = info['point_cloud']
+            seq, idx = pc['lidar_sequence'], pc['sample_idx']
+            points = self.get_lidar(seq, idx)
+            annos = info.get('annos')
+            if annos is None or len(annos['name']) == 0:
+                continue
+            boxes = annos['gt_boxes_lidar'][:, :7]
+            inside = kitti_utils.points_in_boxes_cpu(
+                points[:, :3], boxes).T.astype(bool)
+            for i, name in enumerate(annos['name']):
+                if used_classes is not None and name not in used_classes:
+                    continue
+                gt_pts = points[inside[:, i]]
+                gt_pts = gt_pts.copy()
+                gt_pts[:, :3] -= boxes[i, :3]
+                fname = f'{seq}_{idx:04d}_{name}_{i}.bin'
+                gt_pts.astype(np.float32).tofile(db_save_path / fname)
+                db_info = {'name': name,
+                           'path': str(Path(db_save_path.name) / fname),
+                           'sequence_name': seq, 'sample_idx': idx,
+                           'gt_idx': i, 'box3d_lidar': boxes[i],
+                           'num_points_in_gt': int(inside[:, i].sum()),
+                           'difficulty': int(annos['difficulty'][i])
+                           if 'difficulty' in annos else 0}
+                all_db_infos.setdefault(name, []).append(db_info)
+        with open(db_info_save_path, 'wb') as f:
+            pickle.dump(all_db_infos, f)
+        return all_db_infos
+
+
+def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
+                       raw_data_tag='raw_data',
+                       processed_data_tag='waymo_processed_data',
+                       workers=4, logger=None):
+    """CLI analog of `create_waymo_infos` (`waymo_dataset.py:520-560`):
+    extract train/val splits, dump `waymo_infos_{split}.pkl`, build the GT
+    database for the train split."""
+    data_path, save_path = Path(data_path), Path(save_path)
+    for split in ('train', 'val'):
+        dataset_cfg.DATA_SPLIT = {'train': split, 'test': split}
+        ds = WaymoDataset(dataset_cfg=dataset_cfg, class_names=class_names,
+                          training=(split == 'train'), root_path=data_path,
+                          logger=logger)
+        infos = ds.get_infos(
+            data_path / raw_data_tag, save_path / processed_data_tag,
+            num_workers=workers,
+            sampled_interval=dataset_cfg.get('SAMPLED_INTERVAL', {}).get(
+                'train' if split == 'train' else 'test', 1))
+        out = save_path / f'waymo_infos_{split}.pkl'
+        with open(out, 'wb') as f:
+            pickle.dump(infos, f)
+        if split == 'train':
+            ds.include_waymo_data('train')
+            ds.create_groundtruth_database(out, save_path,
+                                           used_classes=class_names,
+                                           split='train')
+
+
+if __name__ == '__main__':
+    import argparse
+    import yaml
+    from ...utils.config import CfgNode
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg_file', required=True)
+    parser.add_argument('--data_path', required=True)
+    parser.add_argument('--save_path', required=True)
+    parser.add_argument('--workers', type=int, default=4)
+    args = parser.parse_args()
+    cfg = CfgNode(yaml.safe_load(open(args.cfg_file)))
+    create_waymo_infos(cfg, cfg.get('CLASS_NAMES',
+                                    ['Vehicle', 'Pedestrian', 'Cyclist']),
+                       args.data_path, args.save_path)

@@ -30,6 +30,8 @@ def get_host_prepare(model_cfg, dataset_cfg):
     grid, _ = _grid_info(dataset_cfg)
     caps_cfg = bb.get('ACTIVE_CAPS', None)
 
+    want_bev = model_cfg.get('DENSE_HEAD', {}).get('NAME') == 'VoxelNeXtHead'
+
     def prepare(batch):
         if 'sp_submap1' in batch:
             return batch
@@ -40,5 +42,10 @@ def get_host_prepare(model_cfg, dataset_cfg):
         batch.update(batch_build_backbone8x(
             np.asarray(batch['voxel_coords']),
             np.asarray(batch['voxel_mask']), grid, caps))
+        if want_bev:
+            from ..ops.sparse_maps import batch_build_bev, ladder_shapes
+            bev_hw = ladder_shapes(grid)[4][1:]
+            batch.update(batch_build_bev(batch['sp_coords_out'],
+                                         batch['sp_mask_out'], bev_hw))
         return batch
     return prepare

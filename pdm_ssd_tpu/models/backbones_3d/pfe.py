@@ -155,21 +155,22 @@ class VoxelSetAbstraction(nn.Module):
         if cfg.get('SAMPLE_METHOD', 'FPS') == 'SPC' and 'rois' in batch:
             # sectorized-proposal-centric sampling (PV-RCNN++,
             # `voxel_set_abstraction.py:sectorized_proposal_centric_sampling`):
-            # FPS restricted to points near the stage-1 proposals. Points
-            # outside the radius collapse onto a reference near point, so the
-            # max-min iteration never selects them (the sector partition of
-            # the reference is a GPU work-split, not a semantic change).
+            # restrict to points near the stage-1 proposals, then SECTOR-FPS
+            # — azimuth-partitioned FPS with per-sector budgets proportional
+            # to sector population (`sector_fps:78-121`), fixed-shape via
+            # the FPS-prefix recast in `ops/pointnet2.sector_fps`.
+            from ...ops.pointnet2 import sector_fps
             rois = batch['rois'][..., :3]              # (B, R, 3)
-            rad = float(cfg.SPC_SAMPLING.SAMPLE_RADIUS_WITH_ROI)
+            spc = cfg.SPC_SAMPLING
+            rad = float(spc.SAMPLE_RADIUS_WITH_ROI)
             d2 = jnp.min(jnp.sum(
                 (xyz[:, :, None, :2] - rois[:, None, :, :2]) ** 2, -1), -1)
             roi_ok = jnp.any(batch.get(
                 'roi_mask', jnp.ones(rois.shape[:2], bool)), -1, keepdims=True)
             near = (d2 < rad * rad) | ~roi_ok          # all pts if no rois
-            anchor = jnp.argmax(near, axis=1)          # (B,) a near point
-            ref = jnp.take_along_axis(xyz, anchor[:, None, None], axis=1)
-            xyz_spc = jnp.where(near[..., None], xyz, ref)
-            fps_idx = dispatch.farthest_point_sample(xyz_spc, n_key)
+            fps_idx = sector_fps(xyz, near, n_key,
+                                 int(spc.get('NUM_SECTORS', 6)),
+                                 per_sector_cap=min(n_key, xyz.shape[1]))
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, n_key)
         keypoints = dispatch.gather_operation(xyz, fps_idx)       # (B, K, 3)

@@ -77,6 +77,62 @@ def gather_taps(feats, nbr):
     return g.reshape(B, nbr.shape[1], nbr.shape[2] * C)
 
 
+def xwin_plan(nbr, pad):
+    """Precompute the window-fetch plan for a 27-tap (or 9-tap 2D) kernel
+    map — shared by every conv layer of a stage, so the per-layer graph is
+    just one gather + selects + matmul.
+
+    The slot table is sorted by flat key (z, y, x) with x innermost, so the
+    three x-taps of each (dz, dy) group live in *adjacent* slots whenever
+    their cells are consecutively active; consecutive x cells always occupy
+    consecutive slots (their flat keys are consecutive integers). Returns
+    j: (B, V, G) window-center index into the front-zero-padded table
+    (pad+1 = absent) and pick: (B, V, G, 3) in {0,1,2,3} — which window row
+    each tap reads (3 = masked)."""
+    B, V, K = nbr.shape
+    G = K // 3
+    l = nbr.reshape(B, V, G, 3)
+    l0 = jnp.where(l[..., 0] < pad, l[..., 0] + 1, pad + 1)
+    l1 = jnp.where(l[..., 1] < pad, l[..., 1] + 1, pad + 1)
+    l2 = jnp.where(l[..., 2] < pad, l[..., 2] + 1, pad + 1)
+    real0, real1, real2 = (l0 <= pad), (l1 <= pad), (l2 <= pad)
+    j = jnp.where(real1, l1,
+                  jnp.where(real0, l0 + 1,
+                            jnp.where(real2, l2 - 1, pad + 1)))
+    picks = []
+    for lt, real in ((l0, real0), (l1, real1), (l2, real2)):
+        off = lt - (j - 1)
+        ok = real & (off >= 0) & (off <= 2)
+        picks.append(jnp.where(ok, off, 3).astype(jnp.int8))
+    return j, jnp.stack(picks, -1)
+
+
+def gather_taps_xwin(feats, plan):
+    """Window-fetch gather using a precomputed `xwin_plan`: 9 gathered rows
+    of 3C per site instead of 27 rows of C (XLA's TPU row gather is
+    latency-bound, ~6 ns/row — round-2 calibration), bitwise identical to
+    the plain 27-row gather (tests/test_sparse_backbone.py)."""
+    j, pick = plan
+    B, Vin, C = feats.shape
+    V, G = j.shape[1], j.shape[2]
+    zero = jnp.zeros((B, 1, C), feats.dtype)
+    table2 = jnp.concatenate([zero, feats, zero], axis=1)  # (B, Vin+2, C)
+    xm = jnp.concatenate([zero, table2[:, :-1]], axis=1)
+    xp = jnp.concatenate([table2[:, 1:], zero], axis=1)
+    x3 = jnp.concatenate([xm, table2, xp], axis=-1)       # (B, Vin+2, 3C)
+    g3 = jax.vmap(lambda t, i: t[i])(x3, j)               # (B, V, G, 3C)
+    w = (g3[..., :C], g3[..., C:2 * C], g3[..., 2 * C:])
+    outs = []
+    for t in range(3):
+        pt = pick[..., t]
+        picked = jnp.where((pt == 0)[..., None], w[0], 0.0) \
+            + jnp.where((pt == 1)[..., None], w[1], 0.0) \
+            + jnp.where((pt == 2)[..., None], w[2], 0.0)
+        outs.append(picked)
+    g = jnp.stack(outs, axis=3)                           # (B, V, G, 3, C)
+    return g.reshape(B, V, G * 3 * C)
+
+
 class SparseConvBNReLU(nn.Module):
     """One sparse conv layer (submanifold when `nbr` maps a stage onto
     itself; strided when it maps onto the previous stage's slots)."""
@@ -86,7 +142,10 @@ class SparseConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask, training: bool = False):
-        x = gather_taps(feats, nbr)
+        if isinstance(nbr, tuple):       # precomputed xwin_plan
+            x = gather_taps_xwin(feats, nbr)
+        else:
+            x = gather_taps(feats, nbr)
         x = nn.Dense(self.features, use_bias=False)(x)
         if self.use_bn:
             x = MaskedBatchNorm()(x, out_mask, training)
@@ -140,6 +199,11 @@ class SparseVoxelBackBone8x(nn.Module):
         filters = cfg.get('NUM_FILTERS', [16, 32, 64, 64])
         out_ch = cfg.get('OUT_FEATURES', 128)
         residual = cfg.get('RESIDUAL', self.residual)
+        # window-fetch gather: 3x fewer gathered rows, exact (see
+        # xwin_plan) — but currently triggers pathological XLA:TPU compile
+        # times/worker crashes at production shapes (BENCH_NOTES round 3);
+        # off by default until the lowering issue is resolved
+        xwin = cfg.get('XWIN', False)
         feats = batch['voxel_features']                  # (B, cap1, Cin)
         ms = {}
 
@@ -158,6 +222,8 @@ class SparseVoxelBackBone8x(nn.Module):
 
         # conv_input + conv1 (stage 1, submanifold only)
         m1, n1 = batch['sp_mask1'], batch['sp_submap1']
+        if xwin:
+            n1 = xwin_plan(n1, feats.shape[1])
         x = SparseConvBNReLU(filters[0], name='conv_input')(
             jnp.where(m1[..., None], feats, 0.0), n1, m1, training)
         n_sub1 = 2 if residual else 1
@@ -167,10 +233,15 @@ class SparseVoxelBackBone8x(nn.Module):
         # stages 2-4: strided down conv + submanifold blocks
         for s, ch in zip((2, 3, 4), filters[1:]):
             mask_s = batch[f'sp_mask{s}']
+            prev_cap = x.shape[1]
+            down = batch[f'sp_downmap{s}']
+            sub = batch[f'sp_submap{s}']
+            if xwin:
+                down = xwin_plan(down, prev_cap)
+                sub = xwin_plan(sub, mask_s.shape[1])
             x = SparseConvBNReLU(ch, name=f'down{s}')(
-                x, batch[f'sp_downmap{s}'], mask_s, training)
-            x = stage_blocks(x, batch[f'sp_submap{s}'], mask_s, ch, 2,
-                             f'conv{s}')
+                x, down, mask_s, training)
+            x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}')
             ms[f'x_conv{s}'] = (x, batch[f'sp_coords{s}'], mask_s, 2 ** (s - 1))
 
         # conv_out: z-stride (3,1,1)/(2,1,1) down conv

@@ -135,11 +135,15 @@ class AnchorHeadSingle(nn.Module):
             return t.reshape(B, -1, ch)
         batch['anchor_cls_preds'] = to_anchor_major(cls_preds, self.num_class)
         batch['anchor_box_preds'] = to_anchor_major(box_preds, code)
+        # raw NHWC conv maps (oracle-parity surface, tests/test_full_model_parity)
+        batch['anchor_cls_preds_map'] = cls_preds
+        batch['anchor_box_preds_map'] = box_preds
         if cfg.get('USE_DIRECTION_CLASSIFIER', True):
             dir_preds = nn.Conv(na * cfg.get('NUM_DIR_BINS', 2), (1, 1),
                                 name='conv_dir_cls')(x)
             batch['anchor_dir_preds'] = to_anchor_major(
                 dir_preds, cfg.get('NUM_DIR_BINS', 2))
+            batch['anchor_dir_preds_map'] = dir_preds
         return batch
 
     # ---- target assignment (pure) ----

@@ -139,6 +139,13 @@ class Detector3D(nn.Module):
                 grid_size=fmap, point_cloud_range=pc_range,
                 voxel_size=voxel[:2],
                 class_names=tuple(self.class_names) if self.class_names else None)
+        elif head_cfg.NAME == 'VoxelNeXtHead':
+            from ..dense_heads.voxelnext_head import VoxelNeXtHead
+            self.dense_head = VoxelNeXtHead(
+                model_cfg=head_cfg, input_channels=head_in,
+                num_class=self.num_class, point_cloud_range=pc_range,
+                voxel_size=voxel[:2],
+                class_names=tuple(self.class_names) if self.class_names else None)
         elif head_cfg.NAME == 'TransFusionHead':
             from ..dense_heads.transfusion_head import TransFusionHead
             self.dense_head = TransFusionHead(
@@ -159,6 +166,9 @@ class Detector3D(nn.Module):
         batch = dict(batch)
         for m in self.module_list:
             batch = m(batch, training=training)
+        from ..dense_heads.voxelnext_head import VoxelNeXtHead
+        if isinstance(self.dense_head, VoxelNeXtHead):
+            return self.dense_head(batch, training=training)
         if 'spatial_features_2d' not in batch:
             # no 2D backbone configured (VoxelNeXt-style): the head reads the
             # 3D backbone's compressed BEV map directly
@@ -172,10 +182,72 @@ class Detector3D(nn.Module):
         return loss, tb
 
     def predict(self, batch: dict) -> dict:
-        out = self(batch, training=False)
-        return self.post_process(out)
+        """POST_PROCESSING.TTA_FLIP (e.g. ['x', 'y', 'xy']) enables the
+        voxel-family DOUBLE_FLIP TTA (reference `data_processor.py:133` +
+        CenterPoint's `merge_double_flip`): the scene is mirrored in-graph
+        (points, raw voxel points and grid coords), each variant runs the
+        full model, detections are mirrored back and merged by one joint
+        NMS — a det-level recast of the reference's heatmap-mean merge."""
+        pp = as_cfg(self.model_cfg).POST_PROCESSING
+        flips = list(pp.get('TTA_FLIP', []))
+        det = self.post_process(self(batch, training=False))
+        if not flips:
+            return det
+
+        gw, gh, _ = self._grid
+        dets = [det]
+        for axes in flips:
+            fb = dict(batch)
+            for col in ([0] if axes == 'x' else [1] if axes == 'y'
+                        else [0, 1]):
+                if 'points' in fb:
+                    fb['points'] = fb['points'].at[..., col].multiply(-1.0)
+                if 'voxels' in fb:
+                    fb['voxels'] = fb['voxels'].at[..., col].multiply(-1.0)
+                if 'voxel_coords' in fb:
+                    # zyx layout: col 2 = ix, col 1 = iy
+                    ccol, dim = (2, gw) if col == 0 else (1, gh)
+                    c = fb['voxel_coords']
+                    fb['voxel_coords'] = c.at[..., ccol].set(
+                        dim - 1 - c[..., ccol])
+            fdet = self.post_process(self(fb, training=False))
+            fboxes = fdet['pred_boxes']
+            for col in ([0] if axes == 'x' else [1] if axes == 'y'
+                        else [0, 1]):
+                fboxes = fboxes.at[..., col].multiply(-1.0)
+            if axes == 'y':
+                fboxes = fboxes.at[..., 6].multiply(-1.0)
+            elif axes == 'x':
+                fboxes = fboxes.at[..., 6].set(jnp.pi - fboxes[..., 6])
+            # xy: th -> th + pi handled by composing both rules
+            elif axes == 'xy':
+                fboxes = fboxes.at[..., 6].set(jnp.pi + fboxes[..., 6])
+            dets.append({**fdet, 'pred_boxes': fboxes})
+
+        boxes = jnp.concatenate([d['pred_boxes'] for d in dets], axis=1)
+        scores = jnp.concatenate([d['pred_scores'] for d in dets], axis=1)
+        labels = jnp.concatenate([d['pred_labels'] for d in dets], axis=1)
+        valid = jnp.concatenate([d['pred_mask'] for d in dets], axis=1)
+        nms_cfg = pp.NMS_CONFIG
+
+        def per_sample(b, s, l, v):
+            return model_nms.dispatch_nms(b, s, l, v, nms_cfg,
+                                          self.num_class)
+
+        fb_, fs_, fl_, fm_ = jax.vmap(per_sample)(boxes, scores, labels,
+                                                  valid)
+        return {'pred_boxes': fb_, 'pred_scores': fs_, 'pred_labels': fl_,
+                'pred_mask': fm_}
 
     def get_training_loss(self, batch: dict):
+        from ..dense_heads.voxelnext_head import VoxelNeXtHead
+        if isinstance(self.dense_head, VoxelNeXtHead):
+            targets = self.dense_head.assign_targets(
+                batch['gt_boxes'], batch['gt_mask'],
+                batch['sp_bev_coords'], batch['sp_bev_mask'])
+            loss, tb = self.dense_head.get_loss(batch, targets)
+            tb['loss'] = loss
+            return loss, tb
         from ..dense_heads.transfusion_head import TransFusionHead
         if isinstance(self.dense_head, TransFusionHead):
             targets = self.dense_head.assign_targets(batch)
@@ -208,7 +280,8 @@ class Detector3D(nn.Module):
                     'pred_scores': out['pred_scores'] * out['pred_mask'],
                     'pred_labels': (out['pred_labels'] + 1) * out['pred_mask'],
                     'pred_mask': out['pred_mask']}
-        if isinstance(self.dense_head, CenterHead):
+        from ..dense_heads.voxelnext_head import VoxelNeXtHead
+        if isinstance(self.dense_head, (CenterHead, VoxelNeXtHead)):
             hm = self.dense_head.generate_predicted_boxes(batch)
             boxes, scores = hm['pred_boxes'], hm['pred_scores']
             labels, valid = hm['pred_labels'] + 1, hm['pred_mask']

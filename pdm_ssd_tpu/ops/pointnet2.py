@@ -52,7 +52,8 @@ def farthest_point_sample(xyz: jax.Array, npoint: int, mask: jax.Array | None = 
         nxt = jnp.argmax(cand, axis=-1).astype(jnp.int32)
         return (dists, nxt), nxt
 
-    first = jnp.zeros((B,), jnp.int32)
+    first = jnp.zeros((B,), jnp.int32) if mask is None else \
+        jnp.argmax(mask, axis=-1).astype(jnp.int32)   # seed at first valid
     init = (jnp.full((B, N), BIG, jnp.float32), first)
     if npoint == 1:
         return first[:, None]
@@ -161,3 +162,40 @@ def three_interpolate_weights(dist2: jax.Array) -> jax.Array:
     dist_recip = 1.0 / (dist2 + 1e-8)
     norm = jnp.sum(dist_recip, axis=-1, keepdims=True)
     return dist_recip / norm
+
+
+def sector_fps(xyz: jax.Array, valid: jax.Array, npoint: int,
+               num_sectors: int, per_sector_cap: int | None = None) -> jax.Array:
+    """Fixed-shape sector-FPS (PV-RCNN++ SPC keypoints,
+    `pcdet/models/backbones_3d/pfe/voxel_set_abstraction.py:78-121`).
+
+    The reference partitions points into azimuth sectors and FPS-samples each
+    with budget ceil(cnt_s / N * npoint). Dynamic budgets break XLA, so this
+    recast exploits the FPS *prefix property* (greedy maximin selections
+    nest): run a fixed-cap masked FPS per sector, then keep the globally
+    smallest "sector consumption fractions" (i + 1) / cnt_s — exactly the
+    proportional allocation up to the reference's ceil rounding.
+
+    xyz (B, N, 3), valid (B, N) -> (B, npoint) indices into N.
+    """
+    B, N, _ = xyz.shape
+    S = num_sectors
+    cap = per_sector_cap or npoint
+    ang = jnp.arctan2(xyz[..., 1], xyz[..., 0]) + jnp.pi
+    sec = jnp.clip(jnp.floor(ang / (2 * jnp.pi / S)), 0, S - 1).astype(jnp.int32)
+    idx_all, prio_all = [], []
+    for s in range(S):
+        m = valid & (sec == s)
+        cnt = jnp.sum(m, axis=-1)                           # (B,)
+        idx_s = farthest_point_sample(xyz, cap, mask=m)     # (B, cap)
+        # drop selections beyond the sector population (mask exhausted ->
+        # duplicates) and empty sectors
+        rank = jnp.arange(cap)[None, :]
+        ok = (rank < cnt[:, None]) & (cnt[:, None] > 0)
+        prio = jnp.where(ok, (rank + 1.0) / jnp.maximum(cnt[:, None], 1), 1e9)
+        idx_all.append(idx_s)
+        prio_all.append(prio)
+    idx_cat = jnp.concatenate(idx_all, axis=1)              # (B, S*cap)
+    prio_cat = jnp.concatenate(prio_all, axis=1)
+    _, sel = jax.lax.top_k(-prio_cat, npoint)
+    return jnp.take_along_axis(idx_cat, sel, axis=1)

@@ -158,6 +158,14 @@ def build_backbone8x_maps(coords, n_valid, grid_size_whd, caps):
     capacities [cap1, cap2, cap3, cap4, cap_out]. Returns the LADDER_KEYS
     dict of numpy arrays."""
     dims = ladder_shapes(grid_size_whd)
+    try:
+        from ..csrc import build_ladder_maps as native
+        out = native(np.asarray(coords, np.int32), int(n_valid),
+                     np.asarray(dims[0], np.int32), caps)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     cap1 = caps[0]
     n1 = min(int(n_valid), cap1)
     # stage-1 slots are the input voxels sorted by flat key (the searchsorted
@@ -211,3 +219,56 @@ def default_caps(max_voxels):
     under these bounds."""
     v = int(max_voxels)
     return [v, v, (3 * v) // 4, v // 2, v // 2]
+
+
+# ---- VoxelNeXt BEV sparse set (`pcdet/models/dense_heads/voxelnext_head.py`
+# consumes the backbone's 2D sparse output; here the 3D out-actives are
+# height-compressed on host into a BEV slot table + 3x3 submanifold map) ----
+
+BEV_KEYS = ['sp_bev_coords', 'sp_bev_mask', 'sp_bev_from_out',
+            'sp_bev_submap']
+
+
+def build_bev_maps(coords_out, n_valid, bev_hw):
+    """One sample. coords_out: (cap, 3) zyx out-actives (sorted); bev_hw:
+    (H, W) of the stride-8 BEV grid. Returns: sp_bev_coords (cap, 2) (y, x)
+    sorted by y*W+x; sp_bev_mask (cap,); sp_bev_from_out (cap,) mapping each
+    out slot to its BEV slot (cap = absent); sp_bev_submap (cap, 9) 3x3
+    neighbor slots ((dy, dx) taps, x innermost)."""
+    H, W = (int(v) for v in bev_hw)
+    cap = len(coords_out)
+    c = coords_out[:n_valid]
+    key = c[:, 1].astype(np.int64) * W + c[:, 2]
+    uniq = np.unique(key)
+    nb = min(len(uniq), cap)
+    uniq = uniq[:nb]
+    bev = np.zeros((cap, 2), np.int32)
+    bev[:nb, 0] = uniq // W
+    bev[:nb, 1] = uniq % W
+    mask = np.arange(cap) < nb
+    pos = np.searchsorted(uniq, key)
+    pos_c = np.minimum(pos, max(nb - 1, 0))
+    hit = (nb > 0) & (uniq[pos_c] == key)
+    from_out = np.full((cap,), cap, np.int32)
+    from_out[:n_valid] = np.where(hit, pos_c, cap)
+    # 3x3 submanifold neighbor map over the BEV set
+    offs = np.stack(np.meshgrid(np.arange(3) - 1, np.arange(3) - 1,
+                                indexing='ij'), -1).reshape(-1, 2)  # (9, 2)
+    nbr = bev[:, None, :] + offs[None]                              # (cap,9,2)
+    ok = np.all((nbr >= 0) & (nbr < [H, W]), axis=-1)
+    ok[nb:] = False
+    q = nbr[..., 0].astype(np.int64) * W + nbr[..., 1]
+    p2 = np.searchsorted(uniq, q.reshape(-1))
+    p2c = np.minimum(p2, max(nb - 1, 0))
+    hit2 = (nb > 0) & (uniq[p2c] == q.reshape(-1))
+    submap = np.where(hit2, p2c, cap).astype(np.int32).reshape(cap, 9)
+    submap = np.where(ok, submap, cap).astype(np.int32)
+    return {'sp_bev_coords': bev, 'sp_bev_mask': mask,
+            'sp_bev_from_out': from_out, 'sp_bev_submap': submap}
+
+
+def batch_build_bev(coords_out, mask_out, bev_hw):
+    per = [build_bev_maps(np.asarray(coords_out[b]),
+                          int(np.sum(mask_out[b])), bev_hw)
+           for b in range(len(coords_out))]
+    return {k: np.stack([p[k] for p in per]) for k in BEV_KEYS}

@@ -260,3 +260,42 @@ def test_data_augmentor_queue_with_new_augs():
     out = aug.forward({'gt_boxes': boxes, 'points': pts})
     assert out['gt_boxes'].shape[1] == 7
     assert np.isfinite(out['points']).all()
+
+
+def test_gt_sampler_shared_memory_db(tmp_path, rng):
+    import pickle
+    """USE_SHARED_MEMORY: crops come from the memory-mapped stacked DB
+    (`database_sampler.py:84-99` analog) via global_data_offset slices."""
+    from pdm_ssd_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+    from pdm_ssd_tpu.utils.config import CfgNode
+    # build a stacked db: two crops of a Car
+    crop1 = rng.randn(20, 4).astype(np.float32) * 0.3
+    crop2 = rng.randn(15, 4).astype(np.float32) * 0.3
+    stacked = np.concatenate([crop1, crop2]).reshape(-1)
+    np.save(tmp_path / 'gt_database_data.npy', stacked.reshape(-1, 4))
+    infos = {'Car': [
+        {'name': 'Car', 'path': 'missing1.bin', 'difficulty': 0,
+         'num_points_in_gt': 20, 'global_data_offset': (0, 20),
+         'box3d_lidar': np.array([10, 0, -1, 4, 2, 1.6, 0.0], np.float32)},
+        {'name': 'Car', 'path': 'missing2.bin', 'difficulty': 0,
+         'num_points_in_gt': 15, 'global_data_offset': (20, 35),
+         'box3d_lidar': np.array([20, 5, -1, 4, 2, 1.6, 0.5], np.float32)},
+    ]}
+    with open(tmp_path / 'dbinfos.pkl', 'wb') as f:
+        pickle.dump(infos, f)
+    cfg = CfgNode({'DB_INFO_PATH': ['dbinfos.pkl'],
+                   'DB_DATA_PATH': ['gt_database_data.npy'],
+                   'USE_SHARED_MEMORY': True,
+                   'SAMPLE_GROUPS': ['Car:2'],
+                   'NUM_POINT_FEATURES': 4})
+    sampler = DataBaseSampler(tmp_path, cfg, ['Car'])
+    assert sampler.db_data is not None
+    dd = {'points': rng.uniform(-50, 50, (100, 4)).astype(np.float32),
+          'gt_boxes': np.zeros((0, 7), np.float32),
+          'gt_names': np.array([], dtype='<U8')}
+    out = sampler(dd)
+    assert len(out['gt_boxes']) == 2          # both pasted from shm slices
+    assert (out['gt_names'] == 'Car').all()
+    # pasted points are centered at the boxes
+    near1 = np.abs(out['points'][:, :3] - [10, 0, -1]).max(-1) < 2.5
+    assert near1.sum() >= 15

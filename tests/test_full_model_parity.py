@@ -1,0 +1,254 @@
+"""Full-forward oracle parity (VERDICT r2 item 5): load torch-reference
+random-init weights into the JAX PointPillar stack and assert the forward
+activations match at every stage — PillarVFE -> PointPillarScatter ->
+BaseBEVBackbone -> AnchorHeadSingle conv outputs — on a fixed batch.
+
+This converts the repo's stage-level parity (coders, losses, targets) into
+model parity: every learned layer's math, layout and composition equals the
+reference (`pcdet/models/backbones_3d/vfe/pillar_vfe.py`,
+`backbones_2d/map_to_bev/pointpillar_scatter.py`,
+`backbones_2d/base_bev_backbone.py:6-112`,
+`dense_heads/anchor_head_single.py`). Tolerance 1e-4 (f32 conv reassoc).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import ref_oracle
+
+ref_oracle.install()
+
+from pdm_ssd_tpu.utils.config import CfgNode
+from pdm_ssd_tpu.models import build_network
+
+
+GRID = (32, 32)          # (W, H)
+NUM_FILTERS = [32]
+BEV = {'LAYER_NUMS': [2, 2], 'LAYER_STRIDES': [1, 2], 'NUM_FILTERS': [32, 64],
+       'UPSAMPLE_STRIDES': [1, 2], 'NUM_UPSAMPLE_FILTERS': [32, 32]}
+
+
+def jax_cfg():
+    return CfgNode({
+        'NAME': 'PointPillar',
+        'VFE': {'NAME': 'PillarVFE', 'WITH_DISTANCE': False,
+                'USE_ABSLOTE_XYZ': True, 'USE_NORM': True,
+                'NUM_FILTERS': NUM_FILTERS},
+        'MAP_TO_BEV': {'NAME': 'PointPillarScatter',
+                       'NUM_BEV_FEATURES': NUM_FILTERS[-1]},
+        'BACKBONE_2D': dict({'NAME': 'BaseBEVBackbone'}, **BEV),
+        'DENSE_HEAD': {
+            'NAME': 'AnchorHeadSingle', 'CLASS_AGNOSTIC': False,
+            'USE_DIRECTION_CLASSIFIER': True, 'DIR_OFFSET': 0.78539,
+            'DIR_LIMIT_OFFSET': 0.0, 'NUM_DIR_BINS': 2,
+            'TARGET_ASSIGNER_CONFIG': {'NAME': 'AxisAlignedTargetAssigner',
+                                       'FEATURE_MAP_STRIDE': 2,
+                                       'MATCH_HEIGHT': False,
+                                       'BOX_CODER': 'ResidualCoder'},
+            'ANCHOR_GENERATOR_CONFIG': [
+                {'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+                 'anchor_rotations': [0, 1.57],
+                 'anchor_bottom_heights': [-1.78],
+                 'matched_threshold': 0.6, 'unmatched_threshold': 0.45}],
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+                'code_weights': [1.0] * 7}},
+        },
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev', 'NMS_THRESH': 0.1,
+                           'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16}},
+    })
+
+
+def ds_cfg():
+    return CfgNode({
+        'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+        'NUM_POINT_FEATURES': 4,
+        'DATA_PROCESSOR': [
+            {'NAME': 'transform_points_to_voxels', 'VOXEL_SIZE': [1.0, 1.0, 4.0],
+             'MAX_POINTS_PER_VOXEL': 8,
+             'MAX_NUMBER_OF_VOXELS': {'train': 128, 'test': 128}}],
+    })
+
+
+def build_torch_modules():
+    """The reference stack, CPU-only pure-torch modules."""
+    ED = ref_oracle._EasyDict
+    pillar_vfe_mod = ref_oracle.load('pcdet.models.backbones_3d.vfe.pillar_vfe')
+    scatter_mod = ref_oracle.load(
+        'pcdet.models.backbones_2d.map_to_bev.pointpillar_scatter')
+    bev_mod = ref_oracle.load('pcdet.models.backbones_2d.base_bev_backbone')
+
+    vfe = pillar_vfe_mod.PillarVFE(
+        model_cfg=ED({'USE_NORM': True, 'WITH_DISTANCE': False,
+                      'USE_ABSLOTE_XYZ': True, 'NUM_FILTERS': NUM_FILTERS}),
+        num_point_features=4, voxel_size=[1.0, 1.0, 4.0],
+        point_cloud_range=[0, -16, -3, 32, 16, 1])
+    scatter = scatter_mod.PointPillarScatter(
+        model_cfg=ED({'NUM_BEV_FEATURES': NUM_FILTERS[-1]}),
+        grid_size=np.array([GRID[0], GRID[1], 1]))
+    bev = bev_mod.BaseBEVBackbone(model_cfg=ED(BEV),
+                                  input_channels=NUM_FILTERS[-1])
+    # AnchorHeadSingle's conv trio, built standalone (its assigner pulls CUDA
+    # paths we don't need for forward parity)
+    na, nc, code, ndir = 2, 1, 7, 2
+    conv_cls = torch.nn.Conv2d(bev.num_bev_features, na * nc, 1)
+    conv_box = torch.nn.Conv2d(bev.num_bev_features, na * code, 1)
+    conv_dir = torch.nn.Conv2d(bev.num_bev_features, na * ndir, 1)
+    # reference init (anchor_head_single.py init_weights): cls bias -log((1-pi)/pi)
+    torch.nn.init.constant_(conv_cls.bias, -np.log((1 - 0.01) / 0.01))
+    torch.nn.init.normal_(conv_box.weight, mean=0, std=0.001)
+    for m in (vfe, scatter, bev, conv_cls, conv_box, conv_dir):
+        m.eval()
+    return vfe, scatter, bev, (conv_cls, conv_box, conv_dir)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def conv_w(t):   # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return t2j(t.permute(2, 3, 1, 0))
+
+
+def deconv_w(t):
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out).
+    flax's lax.conv_transpose does NOT flip the kernel (it is a fractionally
+    strided correlation), while torch's ConvTranspose2d is the gradient of
+    Conv2d — equal only with spatially flipped weights."""
+    return t2j(t.permute(2, 3, 0, 1).flip(0, 1))
+
+
+def bn_vars(bn):
+    return ({'scale': t2j(bn.weight), 'bias': t2j(bn.bias)},
+            {'mean': t2j(bn.running_mean), 'var': t2j(bn.running_var)})
+
+
+def map_weights(vfe, bev, heads, params, batch_stats):
+    """Copy torch weights into the flax param/batch_stats trees in place."""
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    # --- PillarVFE: pfn_layers[i] = Linear + BatchNorm1d
+    for i, pfn in enumerate(vfe.pfn_layers):
+        params['module_list_0'][f'pfn_{i}']['kernel'] = np.asarray(
+            t2j(pfn.linear.weight.T))
+        p, s = bn_vars(pfn.norm)
+        params['module_list_0'][f'pfn_bn_{i}'] = {
+            'scale': np.asarray(p['scale']), 'bias': np.asarray(p['bias'])}
+        batch_stats['module_list_0'][f'pfn_bn_{i}'] = {
+            'mean': np.asarray(s['mean']), 'var': np.asarray(s['var'])}
+
+    # --- BaseBEVBackbone: reference blocks[i] = [ZeroPad, Conv, BN, ReLU,
+    # (Conv, BN, ReLU) * layer_nums]; deblocks[i] = [ConvT/Conv, BN, ReLU]
+    tgt = params['module_list_2']
+    tgt_bs = batch_stats['module_list_2']
+    for i, block in enumerate(bev.blocks):
+        convs = [m for m in block if isinstance(m, torch.nn.Conv2d)]
+        bns = [m for m in block if isinstance(m, torch.nn.BatchNorm2d)]
+        for k, (cv, bn) in enumerate(zip(convs, bns)):
+            tgt[f'down{i}_conv{k}']['kernel'] = np.asarray(conv_w(cv.weight))
+            p, s = bn_vars(bn)
+            tgt[f'down{i}_bn{k}'] = {'scale': np.asarray(p['scale']),
+                                     'bias': np.asarray(p['bias'])}
+            tgt_bs[f'down{i}_bn{k}'] = {'mean': np.asarray(s['mean']),
+                                        'var': np.asarray(s['var'])}
+    for i, de in enumerate(bev.deblocks):
+        cv, bn = de[0], de[1]
+        if isinstance(cv, torch.nn.ConvTranspose2d):
+            tgt[f'up{i}_deconv']['kernel'] = np.asarray(deconv_w(cv.weight))
+        else:
+            tgt[f'up{i}_conv']['kernel'] = np.asarray(conv_w(cv.weight))
+        p, s = bn_vars(bn)
+        tgt[f'up{i}_bn'] = {'scale': np.asarray(p['scale']),
+                            'bias': np.asarray(p['bias'])}
+        tgt_bs[f'up{i}_bn'] = {'mean': np.asarray(s['mean']),
+                               'var': np.asarray(s['var'])}
+
+    # --- head convs (1x1)
+    conv_cls, conv_box, conv_dir = heads
+    h = params['dense_head']
+    h['conv_cls'] = {'kernel': np.asarray(conv_w(conv_cls.weight)),
+                     'bias': np.asarray(t2j(conv_cls.bias))}
+    h['conv_box'] = {'kernel': np.asarray(conv_w(conv_box.weight)),
+                     'bias': np.asarray(t2j(conv_box.bias))}
+    h['conv_dir_cls'] = {'kernel': np.asarray(conv_w(conv_dir.weight)),
+                         'bias': np.asarray(t2j(conv_dir.bias))}
+    return (jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(jnp.asarray, batch_stats))
+
+
+def make_fixed_batch(rng, B=2, V=64, P=8):
+    vox = np.zeros((B, V, P, 4), np.float32)
+    coords = np.zeros((B, V, 3), np.int32)
+    nump = np.zeros((B, V), np.int32)
+    for b in range(B):
+        cells = rng.choice(GRID[0] * GRID[1], V, replace=False)
+        for v in range(V):
+            k = rng.randint(1, P + 1)
+            x, y = int(cells[v] % GRID[0]), int(cells[v] // GRID[0])
+            pts = np.stack([x + rng.rand(k), -16 + y + rng.rand(k),
+                            rng.uniform(-3, 1, k), rng.rand(k)], -1)
+            vox[b, v, :k] = pts
+            coords[b, v] = [0, y, x]
+            nump[b, v] = k
+    return vox, coords, nump
+
+
+def test_pointpillar_full_forward_parity(rng):
+    vfe, scatter, bev, heads = build_torch_modules()
+    vox, coords, nump = make_fixed_batch(rng)
+    B, V = vox.shape[:2]
+
+    # ---- torch forward (stacked-voxel layout: (B*V, P, 4) + 4-col coords)
+    tvox = torch.from_numpy(vox.reshape(-1, *vox.shape[2:]))
+    tco = torch.from_numpy(np.concatenate(
+        [np.repeat(np.arange(B), V)[:, None],
+         coords.reshape(-1, 3)], axis=1).astype(np.float32))
+    tnum = torch.from_numpy(nump.reshape(-1).astype(np.float32))
+    with torch.no_grad():
+        bd = {'voxels': tvox, 'voxel_coords': tco,
+              'voxel_num_points': tnum, 'batch_size': B}
+        bd = vfe(bd)
+        pillar_t = bd['pillar_features'].numpy().reshape(B, V, -1)
+        bd = scatter(bd)
+        spat_t = bd['spatial_features'].numpy()          # (B, C, H, W)
+        bd = bev(bd)
+        feat_t = bd['spatial_features_2d']               # (B, C, H', W')
+        cls_t = heads[0](feat_t).permute(0, 2, 3, 1).numpy()
+        box_t = heads[1](feat_t).permute(0, 2, 3, 1).numpy()
+        dir_t = heads[2](feat_t).permute(0, 2, 3, 1).numpy()
+        feat_t = feat_t.permute(0, 2, 3, 1).numpy()      # NHWC
+
+    # ---- jax forward with the same weights
+    model = build_network(jax_cfg(), num_class=1, dataset_cfg=ds_cfg(),
+                          class_names=['Car'])
+    batch = {'voxels': jnp.asarray(vox), 'voxel_coords': jnp.asarray(coords),
+             'voxel_num_points': jnp.asarray(nump),
+             'voxel_mask': jnp.asarray(nump > 0)}
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    params, bs = map_weights(vfe, bev, heads, variables['params'],
+                             variables.get('batch_stats', {}))
+    out = model.apply({'params': params, 'batch_stats': bs}, batch,
+                      training=False)
+
+    pillar_j = np.asarray(out['pillar_features'])
+    np.testing.assert_allclose(pillar_j, pillar_t, rtol=1e-4, atol=1e-4,
+                               err_msg='PillarVFE')
+    spat_j = np.moveaxis(np.asarray(out['spatial_features']), -1, 1)
+    np.testing.assert_allclose(spat_j, spat_t, rtol=1e-4, atol=1e-4,
+                               err_msg='PointPillarScatter')
+    feat_j = np.asarray(out['spatial_features_2d'])
+    np.testing.assert_allclose(feat_j, feat_t, rtol=1e-3, atol=1e-3,
+                               err_msg='BaseBEVBackbone')
+    for key, want in (('anchor_cls_preds_map', cls_t),
+                      ('anchor_box_preds_map', box_t),
+                      ('anchor_dir_preds_map', dir_t)):
+        got = np.asarray(out[key])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
+                                   err_msg=key)

@@ -104,3 +104,40 @@ def test_query_and_group_shapes(rng):
     out = np.asarray(out)
     d = np.linalg.norm(out[..., :3], axis=-1)
     assert (d.min(axis=-1) < 1e-5).all()
+
+
+def test_sector_fps_proportional_balance(rng):
+    """VERDICT r2 item 10: on clustered clouds, sector-FPS allocates samples
+    ~proportionally to sector populations (the reference's per-sector
+    ceil(cnt/N * npoint) budgets), unlike plain FPS which equalizes over
+    geometry. Also: every sample is a valid (near-mask) point."""
+    import jax.numpy as jnp
+    from pdm_ssd_tpu.ops.pointnet2 import sector_fps
+    B, N = 1, 1200
+    # 3 clusters in different azimuth sectors, sizes 800 / 300 / 100
+    cl = [(np.array([10.0, 1.0]), 800), (np.array([-10.0, 8.0]), 300),
+          (np.array([0.1, -12.0]), 100)]
+    pts = []
+    for c, n in cl:
+        pts.append(np.concatenate(
+            [c + rng.randn(n, 2) * 1.5, rng.rand(n, 1)], axis=1))
+    xyz = np.concatenate(pts)[None].astype(np.float32)
+    valid = np.ones((B, N), bool)
+    n_key = 120
+    idx = np.asarray(sector_fps(jnp.asarray(xyz), jnp.asarray(valid),
+                                n_key, num_sectors=6, per_sector_cap=256))[0]
+    assert len(set(idx.tolist())) == n_key          # distinct points
+    # count samples per cluster
+    bounds = np.cumsum([0] + [n for _c, n in cl])
+    counts = [np.sum((idx >= bounds[i]) & (idx < bounds[i + 1]))
+              for i in range(3)]
+    fracs = np.asarray(counts) / n_key
+    want = np.asarray([800, 300, 100]) / N
+    assert np.all(np.abs(fracs - want) < 0.08), (fracs, want)
+
+    # masked: far points are never selected
+    valid2 = valid.copy()
+    valid2[0, :400] = False
+    idx2 = np.asarray(sector_fps(jnp.asarray(xyz), jnp.asarray(valid2),
+                                 60, num_sectors=6, per_sector_cap=256))[0]
+    assert (idx2 >= 400).all()

@@ -278,3 +278,60 @@ def test_second_sparse_assembly(rng, residual):
     assert np.isfinite(gnorm) and gnorm > 0
     dets = model.apply(variables, batch, method=model.predict)
     assert dets['pred_boxes'].shape[0] == 2
+
+
+def test_xwin_gather_matches_plain(rng):
+    """The window-fetch gather (9 rows of 3C) must be exactly the plain
+    27-row gather on maps from the real builder, including gaps and pads."""
+    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
+        gather_taps, gather_taps_xwin, xwin_plan)
+    dims = (6, 12, 16)
+    c = random_actives(rng, dims, 150)
+    cap = 192
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:150] = c
+    nbr = sm._subm_map(coords, 150, dims, (3, 3, 3))
+    feats = rng.randn(2, cap, 8).astype(np.float32)
+    feats[:, 150:] = 0
+    nbr_b = np.tile(nbr[None], (2, 1, 1))
+    a = np.asarray(gather_taps(jnp.asarray(feats), jnp.asarray(nbr_b)))
+    plan = xwin_plan(jnp.asarray(nbr_b), feats.shape[1])
+    b = np.asarray(gather_taps_xwin(jnp.asarray(feats), plan))
+    np.testing.assert_array_equal(a, b)
+    # and on a strided down map
+    co, n_out, _ = sm._down_sites(coords, 150, dims, (3, 3, 3), (2, 2, 2),
+                                  (1, 1, 1), 256)
+    dmap = sm._down_map(coords, 150, dims, co, n_out, (3, 3, 3), (2, 2, 2),
+                        (1, 1, 1))
+    dmap_b = np.tile(dmap[None], (2, 1, 1))
+    a = np.asarray(gather_taps(jnp.asarray(feats), jnp.asarray(dmap_b)))
+    plan = xwin_plan(jnp.asarray(dmap_b), feats.shape[1])
+    b = np.asarray(gather_taps_xwin(jnp.asarray(feats), plan))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_builder_matches_numpy(rng):
+    """csrc/build_ladder_maps vs the numpy reference: exact equality of all
+    LADDER_KEYS (skipped when no compiler)."""
+    from pdm_ssd_tpu import csrc
+    if csrc.lib() is None:
+        pytest.skip('no native toolchain')
+    dims_grid = (32, 24, 12)     # (W, H, D)
+    D, H, W = 13, 24, 32
+    flat = rng.choice(D * H * W, 800, replace=False)
+    coords = np.stack([flat // (H * W), (flat // W) % H, flat % W],
+                      -1).astype(np.int32)
+    rng.shuffle(coords)
+    caps = [800, 2000, 2000, 1200, 1200]
+    ref = {}
+    import pdm_ssd_tpu.csrc as c2
+    orig = c2.build_ladder_maps
+    try:
+        c2.build_ladder_maps = lambda *a, **k: None
+        ref = sm.build_backbone8x_maps(coords, 800, dims_grid, caps)
+    finally:
+        c2.build_ladder_maps = orig
+    nat = sm.build_backbone8x_maps(coords, 800, dims_grid, caps)
+    for k in sm.LADDER_KEYS:
+        np.testing.assert_array_equal(np.asarray(ref[k], np.int64),
+                                      np.asarray(nat[k], np.int64), err_msg=k)
