@@ -28,6 +28,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ...ops.pointnet2 import flat_gather
 import numpy as np
 
 from ...ops import dispatch
@@ -49,7 +51,7 @@ def bilinear_from_bev(bev: jax.Array, keypoints: jax.Array, pc_range,
 
     def corner(dy, dx):
         idx = (y0 + dy) * W + (x0 + dx)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return flat_gather(flat, idx)
 
     v00, v01 = corner(0, 0), corner(0, 1)
     v10, v11 = corner(1, 0), corner(1, 1)
@@ -105,7 +107,7 @@ class VoxelNeighborAgg(nn.Module):
                 zz, yy = iz + dz, iy + dy
                 okr = (zz >= 0) & (zz < D) & (yy >= 0) & (yy < H)
                 r = jnp.where(okr, (zz * H + yy) * W + ix, 0)
-                rows.append(jnp.take_along_axis(t3, r[..., None], axis=1))
+                rows.append(flat_gather(t3, r))
                 in_bounds.append(okr)
         win = jnp.concatenate(rows, axis=-1).reshape(B, -1, 27, Cp)  # (B,K,27,Cp)
         okb = jnp.stack(in_bounds, axis=-1)          # (B, K, 27//3... per (dz,dy))

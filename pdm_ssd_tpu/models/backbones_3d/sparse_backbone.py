@@ -70,11 +70,18 @@ class MaskedBatchNorm(nn.Module):
 def gather_taps(feats, nbr):
     """feats (B, Vin, C) slot table, nbr (B, Vout, K) slot indices with
     `Vin` meaning "absent" -> (B, Vout, K*C). The zero pad row makes absent
-    taps contribute nothing to the matmul."""
+    taps contribute nothing to the matmul.
+
+    The batch is FLATTENED into the row dimension before the gather:
+    XLA:TPU lowers a batched (vmap) gather ~2.7x slower than the same
+    gather over a flat table (8.8 vs 3.3 ns/row, round-3 measurement in
+    tools/microbench_sparse_gather*.py)."""
     B, Vin, C = feats.shape
+    Vout, K = nbr.shape[1], nbr.shape[2]
     table = jnp.concatenate([feats, jnp.zeros((B, 1, C), feats.dtype)], axis=1)
-    g = jax.vmap(lambda t, i: t[i])(table, nbr)          # (B, Vout, K, C)
-    return g.reshape(B, nbr.shape[1], nbr.shape[2] * C)
+    boff = (jnp.arange(B, dtype=nbr.dtype) * (Vin + 1))[:, None, None]
+    g = table.reshape(B * (Vin + 1), C)[(nbr + boff).reshape(B * Vout, K)]
+    return g.reshape(B, Vout, K * C)
 
 
 def xwin_plan(nbr, pad):
@@ -256,12 +263,13 @@ class SparseVoxelBackBone8x(nn.Module):
         ncell = Dz * Hy * Wx
         flat = (co[..., 0] * Hy + co[..., 1]) * Wx + co[..., 2]
         flat = jnp.where(mo, flat, ncell)
-
-        def scatter(fl, f):
-            canvas = jnp.zeros((ncell + 1, out_ch), f.dtype)
-            return canvas.at[fl].add(f)[:ncell]
-
-        dense = jax.vmap(scatter)(flat, x)               # (B, Dz*Hy*Wx, C)
+        B = flat.shape[0]
+        # flat-batch scatter (batched scatter hits the same slow XLA
+        # lowering as batched gather; see gather_taps)
+        boff = (jnp.arange(B, dtype=flat.dtype) * (ncell + 1))[:, None]
+        canvas = jnp.zeros((B * (ncell + 1), out_ch), x.dtype)
+        dense = canvas.at[(flat + boff).reshape(-1)].add(
+            x.reshape(-1, out_ch)).reshape(B, ncell + 1, out_ch)[:, :ncell]
         dense = dense.reshape(-1, Dz, Hy, Wx, out_ch)
         batch['multi_scale_3d_features_sparse'] = ms
         batch['encoded_sparse_out'] = (x, co, mo)

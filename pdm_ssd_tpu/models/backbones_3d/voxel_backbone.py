@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.pointnet2 import flat_gather
+
 from ...utils.config import as_cfg
 
 
@@ -216,7 +218,7 @@ class DenseUNetV2(nn.Module):
         # gather per-voxel-point features at the input sites
         flat_d1 = d1.reshape(B, ncells, filters[0])
         safe = jnp.minimum(flat, ncells - 1)
-        pf = jnp.take_along_axis(flat_d1, safe[..., None], axis=1)
+        pf = flat_gather(flat_d1, safe)
         pf = jnp.where(ok[..., None], pf, 0.0)
         vsz = jnp.asarray(self.voxel_size, jnp.float32)
         origin = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
