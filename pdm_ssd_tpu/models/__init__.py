@@ -22,7 +22,11 @@ def get_host_prepare(model_cfg, dataset_cfg):
     The train/eval loops apply it before `jax.device_put` — the TPU analog
     of spconv building its rulebooks outside the conv kernels."""
     bb = model_cfg.get('BACKBONE_3D', None)
-    if bb is None or bb.get('NAME') not in _SPARSE_BB_NAMES:
+    if bb is None:
+        return None
+    if bb.get('NAME') == 'VoxelBackBone8xFocal':
+        return _focal_prepare(bb, dataset_cfg)
+    if bb.get('NAME') not in _SPARSE_BB_NAMES:
         return None
     import numpy as np
     from .detectors.detector3d import _grid_info
@@ -47,5 +51,32 @@ def get_host_prepare(model_cfg, dataset_cfg):
             bev_hw = ladder_shapes(grid)[4][1:]
             batch.update(batch_build_bev(batch['sp_coords_out'],
                                          batch['sp_mask_out'], bev_hw))
+        return batch
+    return prepare
+
+
+def _focal_prepare(bb, dataset_cfg):
+    """Host focal-ladder builder (`ops/sparse_maps.build_focal_ladder_maps`).
+    Capacities: BACKBONE_3D.ACTIVE_CAPS (5 candidate-site caps) and
+    FOCAL_ECAPS (3 dilated-table caps); defaults scale with the voxel cap
+    (dilated sets hold every slot any learned mask could activate)."""
+    import numpy as np
+    from .detectors.detector3d import _grid_info
+    from ..ops.sparse_maps import batch_build_focal
+    grid, _ = _grid_info(dataset_cfg)
+    caps_cfg = bb.get('ACTIVE_CAPS', None)
+    ecaps_cfg = bb.get('FOCAL_ECAPS', None)
+
+    def prepare(batch):
+        if 'fl_submap1' in batch:
+            return batch
+        V = batch['voxel_coords'].shape[1]
+        caps = list(caps_cfg) if caps_cfg else [V, 2 * V, (3 * V) // 2, V, V]
+        caps[0] = V
+        ecaps = list(ecaps_cfg) if ecaps_cfg else [4 * c for c in caps[:3]]
+        batch = dict(batch)
+        batch.update(batch_build_focal(
+            np.asarray(batch['voxel_coords']),
+            np.asarray(batch['voxel_mask']), grid, caps, ecaps))
         return batch
     return prepare

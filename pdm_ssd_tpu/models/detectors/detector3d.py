@@ -93,6 +93,13 @@ class Detector3D(nn.Module):
                     grid_size=(gw, gh, gd),
                     residual=(bb_name == 'SparseVoxelResBackBone8x'))
                 vfe_out = bb3d.num_bev_features
+            elif bb_name == 'VoxelBackBone8xFocal':
+                from ..backbones_3d.sparse_backbone_focal import VoxelBackBone8xFocal
+                bb3d = VoxelBackBone8xFocal(
+                    model_cfg=cfg.BACKBONE_3D, input_channels=vfe_out,
+                    grid_size=(gw, gh, gd), voxel_size=voxel,
+                    point_cloud_range=pc_range)
+                vfe_out = bb3d.num_bev_features
             else:
                 bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
                                             input_channels=vfe_out,
@@ -261,6 +268,11 @@ class Detector3D(nn.Module):
         else:
             targets = self.dense_head.assign_targets(batch)
         loss, tb = self.dense_head.get_loss(batch, targets)
+        if 'loss_box_of_pts' in batch:
+            # focal sparse conv importance loss (reference
+            # `spconv_backbone_focal.py:203-208,243`)
+            loss = loss + batch['loss_box_of_pts']
+            tb['loss_box_of_pts'] = batch['loss_box_of_pts']
         tb['loss'] = loss
         return loss, tb
 

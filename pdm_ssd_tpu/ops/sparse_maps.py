@@ -221,6 +221,140 @@ def default_caps(max_voxels):
     return [v, v, (3 * v) // 4, v // 2, v // 2]
 
 
+# ---- Focal sparse conv ladder (`pcdet/models/backbones_3d/
+# spconv_backbone_focal.py` + `focal_sparse_conv/focal_sparse_conv.py`) ----
+#
+# The reference's FocalSparseConv *grows* the active set at runtime: a
+# learned importance head picks foreground voxels and spawns new (zero-
+# feature) voxels at kernel offsets whose predicted mask clears a
+# threshold. Dynamic set growth is untraceable on TPU, so the recast is:
+# the host precomputes the MAXIMAL candidate-dilated table E = actives
+# UNION 26-neighborhood(candidates) per focal stage (geometry only), and
+# the device flows per-slot ACTIVATION BITS through the ladder — the
+# learned mask only toggles bits, never shapes. Inactive slots hold zeros
+# and are masked, so conv semantics over the realized active set are
+# exact; capacity overflow truncates by flat-key order (the same
+# saturation convention as the plain ladder caps).
+
+_KERNEL_OFFSETS_26 = None
+
+
+def focal_kernel_offsets():
+    """The 26 non-center offsets of a 3x3x3 kernel in the reference's
+    channel order (`focal_sparse_conv.py:42-44`: z outer, y, x inner,
+    [0,0,0] removed); channel 26 is the center-voxel mask."""
+    global _KERNEL_OFFSETS_26
+    if _KERNEL_OFFSETS_26 is None:
+        offs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                for k in (-1, 0, 1)]
+        offs.remove((0, 0, 0))
+        _KERNEL_OFFSETS_26 = np.asarray(offs, np.int32)
+    return _KERNEL_OFFSETS_26
+
+
+def _dilate_table(coords, n_valid, dims, cap_e):
+    """Maximal focal dilation of an active table: E = sites UNION their 26
+    in-bounds neighbors, sorted by flat key, capped at cap_e. Returns
+    (ecoords (cap_e, 3), n_e, eorig (cap_e,) slot of the site in the BASE
+    table or cap_base, espawn (cap_e, 26) base slot of ecoord - offset_j
+    or cap_base)."""
+    cap_base = len(coords)
+    offs = focal_kernel_offsets()
+    c = coords[:n_valid]
+    nbr = (c[:, None, :] + offs[None]).reshape(-1, 3)
+    ok = np.all((nbr >= 0) & (nbr < np.asarray(dims)), axis=-1)
+    base_keys = _flat(c, dims)
+    cand_keys = np.setdiff1d(np.unique(_flat(nbr[ok], dims)), base_keys)
+    # saturation keeps ALL original sites (they carry real features) and
+    # truncates spawn-candidate cells by flat-key order
+    room = max(cap_e - len(base_keys), 0)
+    u = np.sort(np.concatenate([base_keys, cand_keys[:room]]))[:cap_e]
+    n_e = len(u)
+    ecoords = np.zeros((cap_e, 3), np.int32)
+    ecoords[:n_e, 2] = u % dims[2]
+    ecoords[:n_e, 1] = (u // dims[2]) % dims[1]
+    ecoords[:n_e, 0] = u // (dims[2] * dims[1])
+    sk = _flat(coords, dims)
+    eorig = _lookup(sk, n_valid, _flat(ecoords, dims))
+    eorig[n_e:] = cap_base
+    # spawn sources: slot of (ecoord - off_j) in the base table; the device
+    # checks fg[src] & (sigmoid(imp[src, j]) >= threshold). The landing site
+    # must satisfy the reference's STRICT bound `coord > 0` on every axis
+    # (`split_voxels:130-131` uses `> 0`, not `>= 0`) — coordinate-0 cells
+    # can never be spawn-activated.
+    src = ecoords[:, None, :] - offs[None]
+    oks = np.all((src >= 0) & (src < np.asarray(dims)), axis=-1)
+    oks &= (ecoords.min(axis=-1) > 0)[:, None]
+    oks[n_e:] = False
+    espawn = _lookup(sk, n_valid, _flat(src.reshape(-1, 3), dims))
+    espawn = np.where(oks, espawn.reshape(cap_e, 26), cap_base)
+    return ecoords, n_e, eorig.astype(np.int32), espawn.astype(np.int32)
+
+
+FOCAL_KEYS = (
+    ['fl_perm1']
+    + sum([[f'fl_coords{s}', f'fl_cmask{s}', f'fl_submap{s}',
+            f'fl_ecoords{s}', f'fl_emask{s}', f'fl_eorig{s}',
+            f'fl_espawn{s}', f'fl_esubmap{s}'] for s in (1, 2, 3)], [])
+    + ['fl_downmap2', 'fl_downmap3', 'fl_downmap4',
+       'fl_coords4', 'fl_cmask4', 'fl_submap4',
+       'fl_coords_out', 'fl_cmask_out', 'fl_outmap']
+)
+
+
+def build_focal_ladder_maps(coords, n_valid, grid_size_whd, caps, ecaps):
+    """Kernel maps for `VoxelBackBone8xFocal` (one sample): the plain
+    ladder interleaved with maximal-dilation tables at stages 1-3. caps:
+    candidate-site capacities [capC1..capC4, cap_out]; ecaps: dilated
+    capacities [capE1, capE2, capE3]. Downstream stages are built from the
+    *dilated* tables, so every slot any learned mask could activate has a
+    precomputed site + kernel map."""
+    dims = ladder_shapes(grid_size_whd)
+    cap1 = caps[0]
+    n1 = min(int(n_valid), cap1)
+    keys_in = _flat(coords[:n1].astype(np.int32), dims[0])
+    order = np.argsort(keys_in, kind='stable').astype(np.int32)
+    c1 = np.zeros((cap1, 3), np.int32)
+    c1[:n1] = coords[:n1][order]
+    perm = np.zeros((cap1,), np.int32)
+    perm[:n1] = order
+    out = {'fl_perm1': perm}
+    prev_e, prev_ne, prev_dims, prev_cape = None, 0, dims[0], 0
+    c, n = c1, n1
+    for s in (1, 2, 3):
+        d = dims[s - 1]
+        capc = len(c)
+        out[f'fl_coords{s}'] = c
+        out[f'fl_cmask{s}'] = (np.arange(capc) < n)
+        out[f'fl_submap{s}'] = _subm_map(c, n, d, (3, 3, 3))
+        ec, ne, eorig, espawn = _dilate_table(c, n, d, ecaps[s - 1])
+        out[f'fl_ecoords{s}'] = ec
+        out[f'fl_emask{s}'] = (np.arange(ecaps[s - 1]) < ne)
+        out[f'fl_eorig{s}'] = eorig
+        out[f'fl_espawn{s}'] = espawn
+        out[f'fl_esubmap{s}'] = _subm_map(ec, ne, d, (3, 3, 3))
+        ks, st, pd = _DOWN_SPECS[s - 1]
+        c, n, _ = _down_sites(ec, ne, d, ks, st, pd, caps[s])
+        out[f'fl_downmap{s + 1}'] = _down_map(ec, ne, d, c, n, ks, st, pd)
+    out['fl_coords4'] = c
+    out['fl_cmask4'] = (np.arange(caps[3]) < n)
+    out['fl_submap4'] = _subm_map(c, n, dims[3], (3, 3, 3))
+    ks, st, pd = _DOWN_SPECS[3]
+    co, no, _ = _down_sites(c, n, dims[3], ks, st, pd, caps[4])
+    out['fl_coords_out'] = co
+    out['fl_cmask_out'] = (np.arange(caps[4]) < no)
+    out['fl_outmap'] = _down_map(c, n, dims[3], co, no, ks, st, pd)
+    return out
+
+
+def batch_build_focal(voxel_coords, voxel_mask, grid_size_whd, caps, ecaps):
+    per = [build_focal_ladder_maps(np.asarray(voxel_coords[b]),
+                                   int(np.sum(voxel_mask[b])),
+                                   grid_size_whd, caps, ecaps)
+           for b in range(len(voxel_coords))]
+    return {k: np.stack([p[k] for p in per]) for k in FOCAL_KEYS}
+
+
 # ---- VoxelNeXt BEV sparse set (`pcdet/models/dense_heads/voxelnext_head.py`
 # consumes the backbone's 2D sparse output; here the 3D out-actives are
 # height-compressed on host into a BEV slot table + 3x3 submanifold map) ----
