@@ -3,9 +3,10 @@
 
 Raw feather sweeps/annotations are parsed devkit-free through pandas
 (`argo2_utils.py`: info creation + per-sweep cuboids); legacy bin/npy info
-pkls keep working. Evaluation: Argo2's official CDS needs the av2 devkit;
-the distance-matched mAP/NDS protocol implementation
-(`nuscenes/nuscenes_eval.py`) reports the matched-AP portion.
+pkls keep working. Evaluation: the official CDS protocol is implemented
+devkit-free in `argo2_eval.py` (center-distance AP over {0.5,1,2,4} m +
+ATE/ASE/AOE at 2 m); METRIC: nuscenes selects the distance-matched mAP/NDS
+fallback instead.
 """
 from __future__ import annotations
 
@@ -68,8 +69,14 @@ class Argo2Dataset(DatasetTemplate):
             batch_dict, pred_dicts, class_names, output_path)
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        from ..nuscenes.nuscenes_eval import evaluate_nuscenes
+        """Official Argo2 protocol (CDS) via the in-tree devkit-free
+        implementation (`argo2_eval.py`); pass METRIC: nuscenes in the
+        dataset config to fall back to the distance-matched mAP/NDS."""
         gt_annos = [{'name': np.asarray(i.get('gt_names', [])),
                      'boxes_3d': np.asarray(i.get('gt_boxes', np.zeros((0, 7))))}
                     for i in self.infos]
-        return evaluate_nuscenes(gt_annos, det_annos, list(class_names))
+        if self.dataset_cfg.get('METRIC', 'argo2') == 'nuscenes':
+            from ..nuscenes.nuscenes_eval import evaluate_nuscenes
+            return evaluate_nuscenes(gt_annos, det_annos, list(class_names))
+        from .argo2_eval import evaluate_argo2
+        return evaluate_argo2(gt_annos, det_annos, list(class_names))

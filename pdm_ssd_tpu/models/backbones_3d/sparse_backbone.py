@@ -118,7 +118,11 @@ def gather_taps_xwin(feats, plan):
     """Window-fetch gather using a precomputed `xwin_plan`: 9 gathered rows
     of 3C per site instead of 27 rows of C (XLA's TPU row gather is
     latency-bound, ~6 ns/row — round-2 calibration), bitwise identical to
-    the plain 27-row gather (tests/test_sparse_backbone.py)."""
+    the plain 27-row gather (tests/test_sparse_backbone.py).
+
+    The gather is flat-batch (batch folded into the row dim) for the same
+    reason as `gather_taps`; round-3's vmap formulation was both slower and
+    implicated in the pathological XLA:TPU lowering at production shapes."""
     j, pick = plan
     B, Vin, C = feats.shape
     V, G = j.shape[1], j.shape[2]
@@ -127,7 +131,9 @@ def gather_taps_xwin(feats, plan):
     xm = jnp.concatenate([zero, table2[:, :-1]], axis=1)
     xp = jnp.concatenate([table2[:, 1:], zero], axis=1)
     x3 = jnp.concatenate([xm, table2, xp], axis=-1)       # (B, Vin+2, 3C)
-    g3 = jax.vmap(lambda t, i: t[i])(x3, j)               # (B, V, G, 3C)
+    boff = (jnp.arange(B, dtype=j.dtype) * (Vin + 2))[:, None, None]
+    g3 = x3.reshape(B * (Vin + 2), 3 * C)[(j + boff).reshape(B * V * G)]
+    g3 = g3.reshape(B, V, G, 3 * C)
     w = (g3[..., :C], g3[..., C:2 * C], g3[..., 2 * C:])
     outs = []
     for t in range(3):
@@ -142,36 +148,57 @@ def gather_taps_xwin(feats, plan):
 
 class SparseConvBNReLU(nn.Module):
     """One sparse conv layer (submanifold when `nbr` maps a stage onto
-    itself; strided when it maps onto the previous stage's slots)."""
+    itself; strided when it maps onto the previous stage's slots).
+
+    `barrier` wraps the layer output in `lax.optimization_barrier`: the
+    ladder is 11 gather+select+matmul layers, and letting XLA fuse across
+    layer boundaries at production shapes blows up compile time (round-3
+    xwin pathology); the barrier pins each layer as its own fusion island.
+    """
     features: int
     use_relu: bool = True
     use_bn: bool = True
+    barrier: bool = False
+    table_dtype: Any = None          # e.g. jnp.bfloat16: gather half the
+                                     # bytes (the ladder is gather-BW bound)
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask, training: bool = False):
+        if self.table_dtype is not None:
+            feats = feats.astype(self.table_dtype)
         if isinstance(nbr, tuple):       # precomputed xwin_plan
             x = gather_taps_xwin(feats, nbr)
         else:
             x = gather_taps(feats, nbr)
-        x = nn.Dense(self.features, use_bias=False)(x)
+        x = nn.Dense(self.features, use_bias=False,
+                     dtype=self.table_dtype or jnp.float32)(x)
         if self.use_bn:
             x = MaskedBatchNorm()(x, out_mask, training)
         if self.use_relu:
             x = nn.relu(x)
-        return jnp.where(out_mask[..., None], x, 0.0)
+        x = jnp.where(out_mask[..., None], x, 0.0)
+        if self.barrier:
+            x = jax.lax.optimization_barrier(x)
+        return x
 
 
 class SparseBasicBlock(nn.Module):
     """Residual block of two submanifold convs (`spconv_backbone.py:
     SparseBasicBlock:25-66`): conv-bn-relu, conv-bn, +identity, relu."""
     features: int
+    barrier: bool = False
+    table_dtype: object = None
 
     @nn.compact
     def __call__(self, feats, nbr, mask, training: bool = False):
         identity = feats
-        x = SparseConvBNReLU(self.features)(feats, nbr, mask, training)
-        x = SparseConvBNReLU(self.features, use_relu=False)(x, nbr, mask,
-                                                            training)
+        x = SparseConvBNReLU(self.features, barrier=self.barrier,
+                             table_dtype=self.table_dtype)(
+            feats, nbr, mask, training)
+        x = SparseConvBNReLU(self.features, use_relu=False,
+                             barrier=self.barrier,
+                             table_dtype=self.table_dtype)(x, nbr, mask,
+                                                           training)
         x = nn.relu(x + identity)
         return jnp.where(mask[..., None], x, 0.0)
 
@@ -211,16 +238,23 @@ class SparseVoxelBackBone8x(nn.Module):
         # times/worker crashes at production shapes (BENCH_NOTES round 3);
         # off by default until the lowering issue is resolved
         xwin = cfg.get('XWIN', False)
+        barrier = cfg.get('LAYER_BARRIER', xwin)
+        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
+            str(cfg.get('TABLE_DTYPE', '')).lower())
         feats = batch['voxel_features']                  # (B, cap1, Cin)
         ms = {}
 
         def stage_blocks(x, nbr, mask, ch, n_sub, name):
             for i in range(n_sub):
                 if residual:
-                    x = SparseBasicBlock(ch, name=f'{name}_block{i}')(
+                    x = SparseBasicBlock(ch, barrier=barrier,
+                                         table_dtype=tdt,
+                                         name=f'{name}_block{i}')(
                         x, nbr, mask, training)
                 else:
-                    x = SparseConvBNReLU(ch, name=f'{name}_subm{i}')(
+                    x = SparseConvBNReLU(ch, barrier=barrier,
+                                         table_dtype=tdt,
+                                         name=f'{name}_subm{i}')(
                         x, nbr, mask, training)
             return x
 
@@ -231,7 +265,8 @@ class SparseVoxelBackBone8x(nn.Module):
         m1, n1 = batch['sp_mask1'], batch['sp_submap1']
         if xwin:
             n1 = xwin_plan(n1, feats.shape[1])
-        x = SparseConvBNReLU(filters[0], name='conv_input')(
+        x = SparseConvBNReLU(filters[0], barrier=barrier, table_dtype=tdt,
+                             name='conv_input')(
             jnp.where(m1[..., None], feats, 0.0), n1, m1, training)
         n_sub1 = 2 if residual else 1
         x = stage_blocks(x, n1, m1, filters[0], n_sub1, 'conv1')
@@ -246,14 +281,16 @@ class SparseVoxelBackBone8x(nn.Module):
             if xwin:
                 down = xwin_plan(down, prev_cap)
                 sub = xwin_plan(sub, mask_s.shape[1])
-            x = SparseConvBNReLU(ch, name=f'down{s}')(
+            x = SparseConvBNReLU(ch, barrier=barrier, table_dtype=tdt,
+                                 name=f'down{s}')(
                 x, down, mask_s, training)
             x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}')
             ms[f'x_conv{s}'] = (x, batch[f'sp_coords{s}'], mask_s, 2 ** (s - 1))
 
         # conv_out: z-stride (3,1,1)/(2,1,1) down conv
         mo = batch['sp_mask_out']
-        x = SparseConvBNReLU(out_ch, name='conv_out')(
+        x = SparseConvBNReLU(out_ch, barrier=barrier, table_dtype=tdt,
+                             name='conv_out')(
             x, batch['sp_outmap'], mo, training)
 
         # scatter the final actives to the dense stride-8 BEV canvas and

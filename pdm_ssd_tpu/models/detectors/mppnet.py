@@ -66,6 +66,21 @@ class MPPNet(PVRCNN):
         batch = self.roi_head(batch, training=training)
         return batch
 
+    def init_memory(self, batch_size: int, num_rois: int) -> dict:
+        from ..roi_heads.mppnet_head import init_mppnet_memory
+        return init_mppnet_memory(as_cfg(self.model_cfg).ROI_HEAD,
+                                  batch_size, num_rois)
+
+    def predict_with_state(self, batch: dict):
+        """Streaming (MPPNetE2E) predict: consumes `batch['mppnet_memory']`,
+        returns (detections, updated memory). Thread the memory through
+        consecutive frames of a sequence; start from `init_memory(...)`.
+        Recast of the reference's in-place memory-bank update
+        (`pcdet/models/detectors/mppnet_e2e.py`)."""
+        out = self(dict(batch), training=False)
+        det = self.post_process(out)
+        return det, out.get('mppnet_memory')
+
     def get_training_loss(self, batch: dict):
         a_targets = self.dense_head.assign_targets(batch)
         loss, tb = self.dense_head.get_loss(batch, a_targets)

@@ -114,6 +114,22 @@ def box_anchors(rois):
         rois.shape[:-1] + (9, 3))
 
 
+def init_mppnet_memory(head_cfg, batch_size: int, num_rois: int) -> dict:
+    """Empty memory bank for step 0 of a streamed sequence: T-1 past frames
+    of (proposal boxes+vel, validity, cached proxy-geometry features).
+    All-invalid slots match nothing, so step 0 falls back to current-frame
+    features exactly like the reference's sample_idx==0 branch
+    (`mppnet_memory_bank_e2e.py:464-466`). Module-level (pure config ->
+    shapes): callable outside init/apply."""
+    hp = MPPNetHead._hp_from_cfg(head_cfg)
+    P, T, d = hp['grid'] ** 3, hp['T'], hp['d']
+    return {
+        'rois': jnp.zeros((batch_size, T - 1, num_rois, 9), jnp.float32),
+        'valid': jnp.zeros((batch_size, T - 1, num_rois), bool),
+        'feat': jnp.zeros((batch_size, T - 1, num_rois, P, d), jnp.float32),
+    }
+
+
 class MPPNetHead(RoIHeadTemplate):
     """Reference config schema (`mppnet.yaml`): TRANS_INPUT,
     Transformer {num_lidar_points, num_proxy_points, num_groups, enc_layers,
@@ -123,7 +139,11 @@ class MPPNetHead(RoIHeadTemplate):
     input_channels: int = 0
 
     def _hp(self):
-        cfg = as_cfg(self.model_cfg)
+        return self._hp_from_cfg(self.model_cfg)
+
+    @staticmethod
+    def _hp_from_cfg(model_cfg):
+        cfg = as_cfg(model_cfg)
         tr = cfg.get('Transformer', {})
         gp = cfg.get('ROI_GRID_POOL', {})
         get = (lambda d, k, dflt: d.get(k, dflt) if hasattr(d, 'get') else dflt)
@@ -141,10 +161,14 @@ class MPPNetHead(RoIHeadTemplate):
                                      [[32, 32]])[0]],
         }
 
-    def generate_trajectory(self, rois, roi_mask, proposals_mf):
+    def generate_trajectory(self, rois, roi_mask, proposals_mf,
+                            with_match=False):
         """`generate_trajectory:635-660`. rois: (B, R, 7+) current (col 7:9 =
         vx, vy when present); proposals_mf: (B, T, P, 9) per-frame proposal
-        sets. Returns trajectory (B, T, R, 7), valid (B, T, R)."""
+        sets. Returns trajectory (B, T, R, 7), valid (B, T, R); with
+        `with_match` also the per-frame matched proposal index (B, T, R)
+        (frame 0 = identity) — the E2E memory bank's matching table
+        (`mppnet_memory_bank_e2e.py:331-358` matching_table)."""
         hp = self._hp()
         T = hp['T']
         B, R = rois.shape[:2]
@@ -153,6 +177,8 @@ class MPPNetHead(RoIHeadTemplate):
             (B, R, 2), rois.dtype)
         traj = [cur]
         valid = [jnp.ones((B, R), bool) if roi_mask is None else roi_mask]
+        match = [jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None],
+                                  (B, R))]
         prev = jnp.concatenate([cur, vel], -1)
         for t in range(1, T):
             shifted = prev[..., :7].at[..., 0:2].add(-prev[..., 7:9] * 0.1) \
@@ -160,6 +186,7 @@ class MPPNetHead(RoIHeadTemplate):
             if proposals_mf is None:
                 traj.append(cur)
                 valid.append(valid[0])
+                match.append(match[0])
                 continue
             props = proposals_mf[:, t]                       # (B, P, 9)
             ious = jax.vmap(iou3d.boxes_iou3d)(shifted, props[..., :7])
@@ -170,9 +197,13 @@ class MPPNetHead(RoIHeadTemplate):
                 props, best[..., None], axis=1)              # (B, R, 9)
             traj.append(jnp.where(fg[..., None], matched[..., :7], cur))
             valid.append(fg & valid[0])
+            match.append(best.astype(jnp.int32))
             prev = jnp.where(fg[..., None], matched,
                              jnp.concatenate([shifted, prev[..., 7:9]], -1))
-        return jnp.stack(traj, axis=1), jnp.stack(valid, axis=1)
+        out = (jnp.stack(traj, axis=1), jnp.stack(valid, axis=1))
+        if with_match:
+            return out + (jnp.stack(match, axis=1),)
+        return out
 
     @nn.compact
     def __call__(self, batch: dict, training: bool = False) -> dict:
@@ -187,13 +218,32 @@ class MPPNetHead(RoIHeadTemplate):
         rois = batch['rois']                              # (B, R, 7)
         B, R = rois.shape[:2]
 
-        frames = batch['points_multi_frame']              # (B, T, N, 3+F)
-        assert frames.shape[1] >= T
+        # E2E memory bank (functional recast of `mppnet_memory_bank_e2e.py`):
+        # past frames' proposal boxes + cached proxy-geometry features are
+        # threaded through the predict loop as a fixed-shape state dict
+        # instead of a module attribute; only the CURRENT frame's points are
+        # cropped and featurized each step.
+        mem = batch.get('mppnet_memory')
+        midx = None
+        use_mem = mem is not None and 'trajectory_rois' not in batch
         if 'trajectory_rois' in batch:
             traj = batch['trajectory_rois']
             tvalid = batch.get(
                 'trajectory_valid', jnp.ones(traj.shape[:3], bool))
+            frames = batch['points_multi_frame']
+        elif mem is not None:
+            # memory rois double as the per-frame proposal sets; frame 0 of
+            # the proposals tensor is never read (identity match)
+            props = jnp.concatenate(
+                [mem['rois'][:, :1], mem['rois']], axis=1)    # (B, T, P, 9)
+            traj, tvalid, midx = self.generate_trajectory(
+                rois, batch.get('roi_mask'), props, with_match=True)
+            frames = batch.get('points_multi_frame')
+            if frames is None:
+                frames = batch['points'][:, None]             # (B, 1, N, 3+F)
         else:
+            frames = batch['points_multi_frame']              # (B, T, N, 3+F)
+            assert frames.shape[1] >= T
             traj, tvalid = self.generate_trajectory(
                 rois, batch.get('roi_mask'), batch.get('proposals_multi_frame'))
         batch['trajectory_rois'], batch['trajectory_valid'] = traj, tvalid
@@ -204,8 +254,10 @@ class MPPNetHead(RoIHeadTemplate):
         # ---- per-frame crop + geometry features + SA pool to proxies ----
         geo_mlp = MLP3(64, d // max(len(hp['radii']), 1), name='up_geometry')
         agg_mlp = SharedMLP(tuple(hp['mlp']), name='sa_mlp')
-        proxy_all, pmask_all = [], []
-        for t in range(T):
+
+        def frame_geometry(t):
+            """Crop frame t's points inside the trajectory boxes and pool
+            geometry features onto the box proxy grid -> (B, R, P, C)."""
             t_rois = traj[:, t]
             pts_t = frames[:, t, :, :3]
             idx, pvalid = pool_roi_points(
@@ -244,14 +296,44 @@ class MPPNetHead(RoIHeadTemplate):
                 pooled_r = jnp.max(h, axis=3)
                 any_w = jnp.any(w, axis=3)
                 per_r.append(jnp.where(any_w[..., None], pooled_r, 0.0))
-            proxy_geo = jnp.concatenate(per_r, -1)        # (B, R, P, C)
-            proxy_all.append(proxy_geo)
-            pmask_all.append(jnp.broadcast_to(
-                tvalid[:, t, :, None], (B, R, n_proxy)))
+            return jnp.concatenate(per_r, -1)             # (B, R, P, C)
 
-        proxy_geo = jnp.stack(proxy_all, axis=2)          # (B, R, T, P, C)
-        proxy_msk = jnp.stack(pmask_all, axis=2)          # (B, R, T, P)
-        proxy_geo = nn.Dense(d, name='geo_proj')(proxy_geo)
+        geo_proj = nn.Dense(d, name='geo_proj')
+        if use_mem:
+            # current frame featurized; past frames read from the bank.
+            # Unmatched past frames fall back to the current frame's features
+            # (the reference's src_repeat default, `mppnet_memory_bank_e2e
+            # .py:452-462`), so their tokens stay valid.
+            proj0 = geo_proj(frame_geometry(0))           # (B, R, P, d)
+            frames_feats = [proj0]
+            for t in range(1, T):
+                cached = jnp.take_along_axis(
+                    mem['feat'][:, t - 1],
+                    midx[:, t][..., None, None], axis=1)  # (B, R, P, d)
+                fg = tvalid[:, t][..., None, None]
+                frames_feats.append(jnp.where(fg, cached, proj0))
+            proxy_geo = jnp.stack(frames_feats, axis=2)   # (B, R, T, P, d)
+            proxy_msk = jnp.broadcast_to(
+                tvalid[:, 0][:, :, None, None], (B, R, T, n_proxy))
+            # rolling update: shift the bank by one frame
+            vel = rois[..., 7:9] if rois.shape[-1] > 8 else jnp.zeros(
+                (B, R, 2), rois.dtype)
+            cur9 = jnp.concatenate([rois[..., :7], vel], -1)
+            valid0 = tvalid[:, 0]
+            cur9 = jnp.where(valid0[..., None], cur9, 0.0)
+            batch['mppnet_memory'] = {
+                'rois': jnp.concatenate(
+                    [cur9[:, None], mem['rois'][:, :-1]], axis=1),
+                'valid': jnp.concatenate(
+                    [valid0[:, None], mem['valid'][:, :-1]], axis=1),
+                'feat': jnp.concatenate(
+                    [proj0[:, None], mem['feat'][:, :-1]], axis=1),
+            }
+        else:
+            proxy_all = [frame_geometry(t) for t in range(T)]
+            proxy_msk = jnp.broadcast_to(
+                jnp.swapaxes(tvalid, 1, 2)[..., None], (B, R, T, n_proxy))
+            proxy_geo = geo_proj(jnp.stack(proxy_all, axis=2))
 
         # ---- motion features: proxies relative to the frame-0 box ----
         proxies_seq = jnp.stack(
@@ -317,6 +399,9 @@ class MPPNetHead(RoIHeadTemplate):
         batch['rcnn_reg_preds'] = rcnn_reg.reshape(B, R, self.code_size)
         batch['rcnn_reg_aux_preds'] = box_reg_aux.reshape(B, R, self.code_size)
         return batch
+
+    def init_memory(self, batch_size: int, num_rois: int) -> dict:
+        return init_mppnet_memory(self.model_cfg, batch_size, num_rois)
 
     @property
     def code_size(self):

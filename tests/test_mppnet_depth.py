@@ -153,3 +153,65 @@ def test_mppnet_16frame_structure_overfits(rng):
                                         params, grads)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_mppnet_e2e_memory_bank(rng):
+    """Streaming (MPPNetE2E) memory bank: cross-step feature reuse as
+    functional state (`mppnet_memory_bank_e2e.py` recast). Checks the bank
+    rolls by one frame per step, that cached features are reused (a live
+    bank changes the output vs a blank one on a moving scene), and that the
+    whole loop runs under jit."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_detector3d_zoo import pvrcnn_cfg, ds_cfg_voxel, make_batch
+    T = 4
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'MPPNet'
+    del cfg['PFE']
+    del cfg['POINT_HEAD']
+    cfg.ROI_HEAD = _head_cfg(T=T)
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    frames, gt = _moving_scene(rng, T=8)
+
+    base = make_batch(rng, B=1)
+    base['points_multi_frame'] = jnp.asarray(frames[:, :T])
+    base['points'] = jnp.asarray(frames[:, 0])
+    variables = model.init({'params': jax.random.PRNGKey(0)}, base,
+                           training=False)
+    R = cfg.ROI_HEAD.NMS_CONFIG.TEST.NMS_POST_MAXSIZE
+
+    @jax.jit
+    def step(batch, mem):
+        return model.apply(variables, {**batch, 'mppnet_memory': mem},
+                           method=model.predict_with_state)
+
+    mem = model.init_memory(1, R)
+    assert mem['feat'].shape == (1, T - 1, R, 2 ** 3, 16)
+    dets, mems = [], [mem]
+    # stream the sequence newest-frame-first: step s sees frame (7 - s)
+    for s in range(3):
+        b = dict(base)
+        b['points'] = jnp.asarray(frames[:, 7 - s])
+        del b['points_multi_frame']
+        det, mem = step(b, mem)
+        assert np.isfinite(np.asarray(det['pred_boxes'])).all()
+        dets.append(det)
+        mems.append(mem)
+
+    # bank rolls: step s+1's slot-1 entries are step s's slot-0 entries
+    np.testing.assert_allclose(np.asarray(mems[2]['feat'][:, 1]),
+                               np.asarray(mems[1]['feat'][:, 0]), atol=0)
+    np.testing.assert_allclose(np.asarray(mems[2]['rois'][:, 1]),
+                               np.asarray(mems[1]['rois'][:, 0]), atol=0)
+    assert bool(mems[1]['valid'][:, 0].any())
+
+    # the bank is live: replaying the last step with a blanked bank gives a
+    # different refinement (past-frame features fall back to current)
+    b = dict(base)
+    b['points'] = jnp.asarray(frames[:, 5])
+    del b['points_multi_frame']
+    det_mem, _ = step(b, mems[2])
+    det_blank, _ = step(b, model.init_memory(1, R))
+    assert not np.allclose(np.asarray(det_mem['pred_scores']),
+                           np.asarray(det_blank['pred_scores']))

@@ -38,6 +38,16 @@ def synth_cloud(rng, n=120000):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--xwin', action='store_true')
+    ap.add_argument('--barrier', type=int, default=-1,
+                    help='-1: default (= xwin), 0/1: force off/on')
+    ap.add_argument('--no_bwd', action='store_true')
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16 feature slot tables (TABLE_DTYPE)')
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir', str(REPO / '.jax_cache'))
@@ -50,6 +60,14 @@ def main():
 
     cfg = cfg_from_yaml_file(
         str(REPO / 'configs/kitti_models/second_sparse.yaml'), CfgNode())
+    if args.xwin:
+        cfg.MODEL.BACKBONE_3D.XWIN = True
+    if args.barrier >= 0:
+        cfg.MODEL.BACKBONE_3D.LAYER_BARRIER = bool(args.barrier)
+    if args.bf16:
+        cfg.MODEL.BACKBONE_3D.TABLE_DTYPE = 'bf16'
+    print(f'xwin={args.xwin} barrier={args.barrier} bf16={args.bf16}',
+          flush=True)
     model = build_network(cfg.MODEL, num_class=3, dataset_cfg=cfg.DATA_CONFIG,
                          class_names=cfg.CLASS_NAMES)
     proc = DataProcessor(cfg.DATA_CONFIG.DATA_PROCESSOR,
@@ -112,6 +130,9 @@ def main():
     fms = (time.perf_counter() - t0) / iters * 1e3
     print(f'SECOND sparse fwd (B={B}, grid 1408x1600x41): {fms:.1f} ms/batch '
           f'({B/fms*1e3:.1f} fps/chip)', flush=True)
+
+    if args.no_bwd:
+        return
 
     def loss_fn(params, b):
         (l, _), _ = model.apply(
