@@ -62,6 +62,10 @@ class DataBaseSampler:
         self.logger = logger
         self.use_road_plane = sampler_cfg.get('USE_ROAD_PLANE', False)
         self.limit_whole_scene = sampler_cfg.get('LIMIT_WHOLE_SCENE', False)
+        # image copy-paste (`database_sampler.py:169-235` IMG_AUG_TYPE
+        # 'kitti'): paste each sampled object's image crop into the target
+        # frame by depth order and drop occluded raw points
+        self.img_aug_type = sampler_cfg.get('IMG_AUG_TYPE', None)
         # shared-memory GT database (`database_sampler.py:84-99`): the
         # reference SharedArray's /dev/shm copy becomes a memory-mapped npy
         # in /dev/shm — one physical copy shared by all dataloader workers
@@ -144,11 +148,142 @@ class DataBaseSampler:
         boxes[:, 2] -= dz
         return dz
 
+    # ---- image copy-paste (IMG_AUG_TYPE: kitti) ----
+
+    @staticmethod
+    def _np_box_corners(box7):
+        """(7,) -> (8, 3) corners, reference ordering (box_ops
+        `boxes_to_corners_3d:35-52`)."""
+        t = np.array([[1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+                      [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1]],
+                     np.float32) / 2.0
+        c = t * box7[3:6]
+        cos, sin = np.cos(box7[6]), np.sin(box7[6])
+        rot = np.array([[cos, -sin, 0], [sin, cos, 0], [0, 0, 1]], np.float32)
+        return c @ rot.T + box7[:3]
+
+    @staticmethod
+    def _np_corners_to_box(corners):
+        """(8, 3) corners (reference order) -> best-fit (7,) lidar box —
+        role of the reference `corners_rect_to_camera` +
+        `boxes3d_kitti_camera_to_lidar` roundtrip (`database_sampler.py:
+        250-255`), fitted directly in lidar frame via parallel-edge means."""
+        center = corners.mean(axis=0)
+        ex = corners[[0, 1, 4, 5]].mean(0) - corners[[2, 3, 6, 7]].mean(0)
+        ey = corners[[0, 3, 4, 7]].mean(0) - corners[[1, 2, 5, 6]].mean(0)
+        ez = corners[4:].mean(0) - corners[:4].mean(0)
+        return np.array([center[0], center[1], center[2],
+                         np.linalg.norm(ex[:2]), np.linalg.norm(ey[:2]),
+                         abs(ez[2]), np.arctan2(ex[1], ex[0])], np.float32)
+
+    def _collect_image_crop(self, info, data_dict, obj_pts, box3d):
+        """Reference `collect_image_crops_kitti:236-275`: load the sampled
+        object's source image crop, and re-align its points and box through
+        (source camera -> pixels+depth -> target camera) so the pasted
+        geometry is consistent with the TARGET frame's calibration.
+        Returns (crop (h, w, 3) f32, box2d (4,), refined pts, refined box)
+        or None when the source image is missing."""
+        from ..kitti.calibration import Calibration
+        img_path = self.root_path / 'training' / 'image_2' \
+            / f"{info['image_idx']}.png"
+        calib_path = self.root_path / 'training' / 'calib' \
+            / f"{info['image_idx']}.txt"
+        if not img_path.exists() or not calib_path.exists():
+            return None
+        from PIL import Image
+        src_img = np.asarray(Image.open(img_path), np.float32) / 255.0
+        src_calib = Calibration(calib_path)
+        tgt_calib = data_dict['calib']
+
+        # point refinement: src lidar -> src pixels+depth -> tgt camera
+        pix, depth = src_calib.lidar_to_img(obj_pts[:, :3])
+        rect = tgt_calib.img_to_rect(pix[:, 0], pix[:, 1], depth)
+        obj_pts = obj_pts.copy()
+        obj_pts[:, :3] = tgt_calib.rect_to_lidar(rect)
+        # box refinement through its corners
+        corners = self._np_box_corners(box3d[:7])
+        cpix, cdepth = src_calib.lidar_to_img(corners)
+        crect = tgt_calib.img_to_rect(cpix[:, 0], cpix[:, 1], cdepth)
+        new_box = self._np_corners_to_box(tgt_calib.rect_to_lidar(crect))
+        bpix, _ = tgt_calib.lidar_to_img(self._np_box_corners(new_box))
+        H, W = data_dict['images'].shape[:2]
+        box2d = np.array([bpix[:, 0].min(), bpix[:, 1].min(),
+                          bpix[:, 0].max(), bpix[:, 1].max()], np.float32)
+        box2d[[0, 2]] = np.clip(box2d[[0, 2]], 0, W - 1)
+        box2d[[1, 3]] = np.clip(box2d[[1, 3]], 0, H - 1)
+
+        sb = np.asarray(info['bbox'], np.float32)
+        sb = np.round(sb).astype(np.int64)
+        sb[[0, 2]] = np.clip(sb[[0, 2]], 0, src_img.shape[1] - 1)
+        sb[[1, 3]] = np.clip(sb[[1, 3]], 0, src_img.shape[0] - 1)
+        crop = src_img[sb[1]:sb[3], sb[0]:sb[2]]
+        if crop.size == 0:
+            return None
+        return crop, box2d, obj_pts, new_box
+
+    def _paste_to_image(self, data_dict, new_boxes3d, new_boxes2d, crops,
+                        obj_point_idx):
+        """Reference `copy_paste_to_image_kitti:169-234` ('by_depth',
+        'annotation'): paste crops far-to-near over the target image, then
+        keep raw points only where they are not occluded by a pasted crop,
+        and pasted points only where their own crop is frontmost."""
+        from PIL import Image
+        image = np.array(data_dict['images'], np.float32)
+        H, W = image.shape[:2]
+        gt_number = len(data_dict['gt_boxes2d']) \
+            if 'gt_boxes2d' in data_dict else 0
+        # paste order: existing annotations first (they are "already there"),
+        # then sampled crops far-to-near
+        order = np.argsort(new_boxes3d[:, 0])[::-1]
+        paste_mask = np.full((H, W), -255, np.int64)
+        fg_mask = np.zeros((H, W), np.int64)
+        # existing GT regions are scene foreground
+        if gt_number:
+            for gi, b in enumerate(np.round(
+                    data_dict['gt_boxes2d']).astype(np.int64)):
+                x1, y1, x2, y2 = (np.clip(b[0], 0, W - 1),
+                                  np.clip(b[1], 0, H - 1),
+                                  np.clip(b[2], 0, W - 1),
+                                  np.clip(b[3], 0, H - 1))
+                fg_mask[y1:y2, x1:x2] = 1
+                paste_mask[y1:y2, x1:x2] = gi
+        for oi in order:
+            b = np.round(new_boxes2d[oi]).astype(np.int64)
+            x1, y1, x2, y2 = b
+            if x2 <= x1 or y2 <= y1:
+                continue
+            crop = np.asarray(Image.fromarray(
+                (np.clip(crops[oi], 0, 1) * 255).astype(np.uint8)).resize(
+                    (x2 - x1, y2 - y1)), np.float32) / 255.0
+            image[y1:y2, x1:x2] = crop
+            paste_mask[y1:y2, x1:x2] = gt_number + oi
+        data_dict['images'] = image
+
+        # occlusion-consistent point filtering over the CURRENT point set
+        pts = data_dict['points']
+        calib = data_dict['calib']
+        pix, _ = calib.lidar_to_img(pts[:, :3])
+        u = np.clip(pix[:, 0], 0, W - 1).astype(np.int64)
+        v = np.clip(pix[:, 1], 0, H - 1).astype(np.int64)
+        cell = paste_mask[v, u]
+        is_obj = obj_point_idx >= 0
+        new_mask = is_obj & (cell == (obj_point_idx + gt_number))
+        raw_fg = (fg_mask[v, u] == 1) & (cell >= 0) & (cell < gt_number)
+        raw_bg = (fg_mask[v, u] == 0) & (cell < 0)
+        keep = new_mask | (~is_obj & (raw_fg | raw_bg))
+        data_dict['points'] = pts[keep]
+        return data_dict
+
     def _paste(self, data_dict, boxes, infos, dz):
         """Carve scene points inside the new boxes, read the stored object
-        crops (box-centered), place them at their boxes."""
+        crops (box-centered), place them at their boxes. With IMG_AUG_TYPE
+        'kitti' also collect each object's source image crop, re-align its
+        geometry to the target calibration, paste crops by depth order and
+        drop occlusion-inconsistent points."""
         n_feat = self.sampler_cfg.NUM_POINT_FEATURES
-        crops, ok = [], []
+        img_aug = (self.img_aug_type == 'kitti' and 'images' in data_dict
+                   and data_dict.get('calib') is not None)
+        crops, ok, img_crops, boxes2d = [], [], [], []
         for i, info in enumerate(infos):
             if self.db_data is not None and 'global_data_offset' in info:
                 lo, hi = info['global_data_offset']
@@ -162,6 +297,16 @@ class DataBaseSampler:
                 pts = np.fromfile(str(path), dtype=np.float32).reshape(
                     -1, n_feat).copy()
             pts[:, :3] += boxes[i, :3]
+            if img_aug:
+                got = self._collect_image_crop(info, data_dict, pts,
+                                               boxes[i, :7].copy())
+                if got is None:
+                    ok.append(False)
+                    continue
+                crop2d, box2d, pts, new_box = got
+                boxes[i, :7] = new_box
+                img_crops.append(crop2d)
+                boxes2d.append(box2d)
             pts[:, 2] -= dz[i]
             crops.append(pts)
             ok.append(True)
@@ -178,6 +323,19 @@ class DataBaseSampler:
         data_dict['gt_boxes'] = np.concatenate(
             [data_dict['gt_boxes'], boxes[:, :data_dict['gt_boxes'].shape[1]]])
         data_dict['gt_names'] = np.concatenate([data_dict['gt_names'], names])
+        if img_aug:
+            obj_idx = np.concatenate(
+                [np.full(len(c), oi, np.int64) for oi, c in enumerate(crops)]
+                + [np.full(len(scene), -1, np.int64)])
+            boxes2d = np.stack(boxes2d)
+            data_dict = self._paste_to_image(
+                data_dict, boxes[:, :7], boxes2d, img_crops, obj_idx)
+            if 'gt_boxes2d' in data_dict:
+                data_dict['gt_boxes2d'] = np.concatenate(
+                    [np.asarray(data_dict['gt_boxes2d'],
+                                np.float32).reshape(-1, 4), boxes2d])
+            else:
+                data_dict['gt_boxes2d'] = boxes2d
         return data_dict
 
     def __call__(self, data_dict):

@@ -103,6 +103,12 @@ class KittiDataset(DatasetTemplate):
         path = self.root_split_path / 'velodyne' / f'{idx}.bin'
         return np.fromfile(str(path), dtype=np.float32).reshape(-1, 4)
 
+    def get_image(self, idx):
+        """(H, W, 3) f32 in [0, 1] (reference `get_image:54-66`)."""
+        from PIL import Image
+        with Image.open(self.root_split_path / 'image_2' / f'{idx}.png') as im:
+            return np.asarray(im.convert('RGB'), np.float32) / 255.0
+
     def get_image_shape(self, idx):
         """(H, W) from the PNG IHDR header — no image library needed."""
         with open(self.root_split_path / 'image_2' / f'{idx}.png', 'rb') as f:
@@ -285,13 +291,20 @@ class KittiDataset(DatasetTemplate):
                 if plane is not None:
                     input_dict['road_plane'] = plane
 
-        if 'points' in self.dataset_cfg.get('GET_ITEM_LIST', ['points']):
+        get_item_list = self.dataset_cfg.get('GET_ITEM_LIST', ['points'])
+        if 'points' in get_item_list:
             points = self.get_lidar(sample_idx)
             if self.dataset_cfg.get('FOV_POINTS_ONLY', False):
                 fov = self.get_fov_flag(
                     calib.lidar_to_rect(points[:, :3]), img_shape, calib)
                 points = points[fov]
             input_dict['points'] = points
+        if 'images' in get_item_list:
+            input_dict['images'] = self.get_image(sample_idx)
+            if 'annos' in info and 'bbox' in info['annos']:
+                input_dict['gt_boxes2d'] = np.asarray(
+                    info['annos']['bbox'], np.float32).reshape(-1, 4)[
+                        care[:len(info['annos']['bbox'])]]
 
         data_dict = self.prepare_data(data_dict=input_dict)
         if data_dict is None:   # augmentation left zero GT -> resample

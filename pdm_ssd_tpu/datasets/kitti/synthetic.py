@@ -33,11 +33,22 @@ def write_calib(path):
     path.write_text('\n'.join(lines) + '\n')
 
 
-def write_png_header(path, w=1242, h=375):
-    sig = b'\x89PNG\r\n\x1a\n'
-    ihdr_data = struct.pack('>IIBBBBB', w, h, 8, 2, 0, 0, 0)
-    ihdr = struct.pack('>I', 13) + b'IHDR' + ihdr_data + b'\x00' * 4
-    path.write_bytes(sig + ihdr)
+def write_png_header(path, w=1242, h=375, seed=None):
+    """A real decodable PNG (gray gradient + seeded texture) so the image
+    pipeline (CaDDN, GT-sampler image copy-paste) can run on the mini set;
+    falls back to a bare IHDR header stub if PIL is unavailable."""
+    try:
+        from PIL import Image
+        rng = np.random.RandomState(0 if seed is None else seed)
+        rows = np.linspace(60, 140, h, dtype=np.float32)[:, None, None]
+        img = rows + rng.randint(0, 40, (h, w, 3)).astype(np.float32)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            str(path), optimize=True)
+    except ImportError:
+        sig = b'\x89PNG\r\n\x1a\n'
+        ihdr_data = struct.pack('>IIBBBBB', w, h, 8, 2, 0, 0, 0)
+        ihdr = struct.pack('>I', 13) + b'IHDR' + ihdr_data + b'\x00' * 4
+        path.write_bytes(sig + ihdr)
 
 
 def lidar_box_to_label(box, cls='Car'):
@@ -88,6 +99,6 @@ def make_mini_kitti(root, n_frames=3, seed=0, n_bg=2000):
         labels = [lidar_box_to_label(b) for b in boxes]
         (root / 'training/label_2' / f'{fid}.txt').write_text('\n'.join(labels) + '\n')
         write_calib(root / 'training/calib' / f'{fid}.txt')
-        write_png_header(root / 'training/image_2' / f'{fid}.png')
+        write_png_header(root / "training/image_2" / f"{fid}.png", seed=int(fid))
 
 

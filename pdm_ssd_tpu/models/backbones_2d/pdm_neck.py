@@ -134,22 +134,30 @@ class PDMNeck(nn.Module):
         ok_s = ok.reshape(B, M, Gxy, Gz)
         pay_s = payload.reshape(B, M, Gxy, Gz, Cp)
         z_iota = jnp.arange(Dz, dtype=jnp.int32)
-        # combine the Gz z-offsets into (Dz * Cp) channels before scattering
-        rows = 0.0
-        for g in range(Gz):
-            zoh = (iz_s[..., g, None] == z_iota) & ok_s[..., g, None]  # (B,M,Gxy,Dz)
-            rows = rows + zoh[..., None] * pay_s[:, :, :, g, None, :]
+        # combine the Gz z-offsets into (Dz * Cp) channels before scattering;
+        # ONE one-hot contraction over Gz instead of a Gz-step accumulate
+        # (each accumulate step re-read+wrote the full (B,M,Gxy,Dz,Cp)
+        # tensor: ~1.8 -> ~0.5 ms at the point-config shapes)
+        zoh = ((iz_s[..., None] == z_iota) & ok_s[..., None]
+               ).astype(jnp.float32)                        # (B,M,Gxy,Gz,Dz)
+        # default (bf16) matmul precision: pay_s is itself the product of
+        # bf16-precision matmuls (sh_proj, basis contraction), so the 0/1
+        # selection rounding adds no new error class; HIGHEST costs ~1 ms
+        rows = jax.lax.dot_general(
+            zoh, pay_s, (((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
+            preferred_element_type=jnp.float32)             # (B,M,Gxy,Dz,Cp)
         rows = rows.reshape(B, M * Gxy, Dz * Cp)
 
         ok_xy = jnp.any(ok_s, axis=-1)                              # (B, M, Gxy)
         n_xy = H * W
+        # OOB windows scatter to row 0: their update rows are exactly zero
+        # (zoh is ok-masked), so no dump row / final slice-copy is needed
         flat = jnp.where(ok_xy, iy.reshape(B, M, Gxy, Gz)[..., 0] * W
-                         + ix.reshape(B, M, Gxy, Gz)[..., 0], n_xy)
-        boff = (jnp.arange(B, dtype=jnp.int32) * (n_xy + 1))[:, None]
+                         + ix.reshape(B, M, Gxy, Gz)[..., 0], 0)
+        boff = (jnp.arange(B, dtype=jnp.int32) * n_xy)[:, None]
         fi = (flat.reshape(B, M * Gxy) + boff).reshape(-1)
-        grid = jnp.zeros((B * (n_xy + 1), Dz * Cp), jnp.float32)
+        grid = jnp.zeros((B * n_xy, Dz * Cp), jnp.float32)
         grid = grid.at[fi].add(rows.reshape(-1, Dz * Cp))
-        grid = grid.reshape(B, n_xy + 1, Dz * Cp)[:, :n_xy]
         grid = grid.reshape(B, H, W, Dz * Cp)
         # height compression = fold z into channels (height_compression.py:10-26)
         batch['spatial_features'] = grid

@@ -63,57 +63,72 @@ def grid_dims(pc_range, cell_size: float) -> tuple:
 def build_payload_table(xyz: jax.Array, payload: jax.Array, cell_size: float,
                         grid_wh: tuple, cap: int, pc_min) -> jax.Array:
     """Bucket points into cells; each slot carries
-    [x, y, z, valid, point_idx, payload...].
+    [x, y, z, point_idx + 1 (0 = empty), payload...].
 
     xyz: (B, N, 3); payload: (B, N, C) or None (keep C tiny — every window
     fetch reads 9*cap slots per center; wide payloads go through the
     select-then-gather path instead, see `fused_query_group`).
-    Returns (B, (n_cells+1)*cap, 5+C) f32; slots beyond a cell's population
-    (or beyond cap) have valid=0.
+    Returns (B, n_cells+1, (4+C)*cap) f32 with the CHANNEL axis folded
+    major and the slot axis minor ((D, cap) blocks): downstream window
+    tensors then keep the 9*cap candidate axis minor, so every elementwise
+    op runs on full 128-lane tiles instead of a D(=6)-lane minor axis (the
+    round-3 trace showed the D-minor layout forcing ~2 ms of transposes
+    per SA level plus 6/128-lane elementwise work). Slots beyond a cell's
+    population (or beyond cap) have valid=0.
     """
     B, N, _ = xyz.shape
     W, H = grid_wh
     n_cells = W * H
     cell = _cell_ids(xyz, cell_size, grid_wh, pc_min)  # (B, N)
 
-    order = jnp.argsort(cell, axis=1)
-    cell_sorted = jnp.take_along_axis(cell, order, axis=1)
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    if (n_cells + 1) * N < 2 ** 31:
+        # ONE packed-key sort yields both the sorted cells and the original
+        # positions (XLA's TPU sort costs ~2.9 ms at (8, 16384) i32;
+        # argsort + take_along_axis paid for the sort AND a 1 ms gather)
+        key_sorted = jnp.sort(cell * N + pos, axis=1)
+        order = key_sorted % N
+        cell_sorted = key_sorted // N
+    else:
+        order = jnp.argsort(cell, axis=1)
+        cell_sorted = jnp.take_along_axis(cell, order, axis=1)
     is_start = jnp.concatenate(
         [jnp.ones((B, 1), bool), cell_sorted[:, 1:] != cell_sorted[:, :-1]], axis=1)
     start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
-    rank = pos - start_pos
-    # overflow (rank >= cap) routes past the table end -> dropped by scatter
-    slot = jnp.where(rank < cap, cell_sorted * cap + rank, (n_cells + 1) * cap)
+    # un-sort the within-cell rank back to original point order (one narrow
+    # int scatter) instead of gathering every payload row into sorted order
+    # (two wide row gathers at ~6 ns/row — round-3 trace: ~2 ms at L1)
+    rank_sorted = pos - start_pos
+    rank = jnp.zeros((B, N), jnp.int32).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], order].set(rank_sorted)
 
-    boff = (jnp.arange(B, dtype=order.dtype) * N)[:, None]
-    oflat = (order + boff).reshape(B * N)                # flat-batch gather
-    rows = [xyz.reshape(B * N, 3)[oflat].reshape(B, N, 3),
-            jnp.ones((B, N, 1), jnp.float32),
-            order[..., None].astype(jnp.float32)]
+    # channel 3 stores point_idx + 1 (0.0 = empty slot), doubling as the
+    # validity flag — one fewer channel in every scatter/window byte
+    rows = [xyz,
+            (pos[..., None] + 1).astype(jnp.float32)
+            * jnp.ones((B, 1, 1), jnp.float32)]
     if payload is not None:
-        C_p = payload.shape[-1]
-        rows.append(payload.reshape(B * N, C_p)[oflat].reshape(B, N, C_p))
-    rows = jnp.concatenate(rows, axis=-1)  # (B, N, 5+C) in sorted order
+        rows.append(payload)
+    rows = jnp.concatenate(rows, axis=-1)                # (B, N, 4+C)
 
     D = rows.shape[-1]
     # scatter with the SLOT axis folded into channels: XLA's TPU scatter
     # lowering costs ~O(target_rows + updates), so targeting n_cells rows of
-    # cap*D channels instead of n_cells*cap rows is ~cap times cheaper.
+    # D*cap channels instead of n_cells*cap rows is ~cap times cheaper.
     # Each point contributes a one-hot-slotted row; same-cell points merge by
     # addition into disjoint channel blocks.
     in_cap = rank < cap
     slot_oh = ((rank[..., None] == jnp.arange(cap)) & in_cap[..., None]
                ).astype(rows.dtype)                      # (B, N, cap)
-    wide = (slot_oh[..., None] * rows[..., None, :]).reshape(B, N, cap * D)
-    cell_t = jnp.where(in_cap, cell_sorted, n_cells)     # (B, N)
+    wide = (rows[..., :, None] * slot_oh[..., None, :]).reshape(B, N, D * cap)
+    cell_t = jnp.where(in_cap, cell, n_cells)            # (B, N)
     boff = (jnp.arange(B, dtype=jnp.int32) * (n_cells + 1))[:, None]
     fi = (cell_t + boff).reshape(-1)
-    table = jnp.zeros((B * (n_cells + 1), cap * D), rows.dtype)
-    table = table.at[fi].add(wide.reshape(B * N, cap * D))
-    table = table.reshape(B, n_cells + 1, cap * D)
+    table = jnp.zeros((B * (n_cells + 1), D * cap), rows.dtype)
+    table = table.at[fi].add(wide.reshape(B * N, D * cap))
+    table = table.reshape(B, n_cells + 1, D * cap)
     table = table.at[:, n_cells].set(0.0)  # dump row: drop out-of-range points
-    return table.reshape(B, (n_cells + 1) * cap, D)
+    return table
 
 
 def _tri(n: int, strict: bool) -> jax.Array:
@@ -147,7 +162,7 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
                  cap: int, pc_min, feat_slices: Sequence[tuple] | None = None):
     """Candidate window fetch + per-branch selection/extraction.
 
-    table: from `build_payload_table`, (B, (n_cells+1)*cap, 5+C).
+    table: from `build_payload_table`, (B, n_cells+1, (4+C)*cap) D-major.
     new_xyz: (B, M, 3) ball centers.
     feat_slices: per branch, (start, stop) channel range into the payload C
         (None = all payload channels for every branch).
@@ -160,7 +175,7 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
     M = new_xyz.shape[1]
     W, H = grid_wh
     n_cells = W * H
-    D = table.shape[-1]
+    D = table.shape[-1] // cap
 
     # 3x3 cell window: NINE direct row fetches from the table (round-3
     # re-measurement: materializing the x-rolled 3x-wide table cost ~2.8 ms
@@ -169,7 +184,11 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
     # the dump row n_cells is zeroed, so OOR centers read zeros).
     # flat-batch gather: XLA:TPU lowers batched (per-sample) gathers ~2.7x
     # slower than one flat gather (round-3 measurement); fold B into rows.
-    t = table.reshape(B * (n_cells + 1), cap * D)
+    # Rows are (D, cap) channel-major blocks, so the concatenated window is
+    # (B, M, D, 9*cap) with the 9*cap candidate axis MINOR: every mask /
+    # distance / one-hot op below fills whole 128-lane tiles, and the
+    # extraction dots contract the minor axis on the MXU.
+    t = table.reshape(B * (n_cells + 1), D * cap)
     cc = _cell_ids(new_xyz, cell_size, grid_wh, pc_min)  # (B, M), dump-safe
     cc = jnp.minimum(cc, n_cells)                        # dump row for OOR centers
     boff = (jnp.arange(B, dtype=cc.dtype) * (n_cells + 1))[:, None]
@@ -178,14 +197,15 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
         for dx in (-1, 0, 1):
             row = jnp.where(cc == n_cells, n_cells,
                             jnp.clip(cc + dy * W + dx, 0, n_cells))
-            strips.append(t[(row + boff).reshape(B * M)])
-    window = jnp.concatenate(strips, axis=-1).reshape(B, M, 9 * cap, D)
+            strips.append(t[(row + boff).reshape(B * M)].reshape(
+                B * M, D, cap))
+    window = jnp.concatenate(strips, axis=-1).reshape(B, M, D, 9 * cap)
 
-    rel = window[..., :3] - new_xyz[:, :, None, :]       # (B, M, 9c, 3) f32
-    valid = window[..., 3] > 0.5                         # (B, M, 9c)
-    d2 = jnp.sum(rel * rel, axis=-1)
-    # split point-idx for exact bf16 extraction: idx = hi*256 + lo, both <= 256
-    idx_ch = window[..., 4]
+    rel = window[:, :, :3, :] - new_xyz[..., None]       # (B, M, 3, 9c) f32
+    idx_ch = window[:, :, 3, :]                          # point_idx + 1
+    valid = idx_ch > 0.5                                 # (B, M, 9c)
+    d2 = jnp.sum(rel * rel, axis=2)
+    # split point-idx+1 for exact bf16 extraction: hi*256 + lo, both <= 256
     idx_hi = jnp.floor(idx_ch / 256.0).astype(jnp.bfloat16)
     idx_lo = jnp.mod(idx_ch, 256.0).astype(jnp.bfloat16)
 
@@ -203,23 +223,25 @@ def window_group(table: jax.Array, new_xyz: jax.Array, radii: Sequence[float],
         want = jnp.where(k_iota < hits, k_iota, 0.0)     # (B, M, K)
         onehot = (rank_b[:, :, None, :] == want.astype(jnp.bfloat16)[..., None]) \
             * w_b[:, :, None, :]
-        dn = (((3,), (2,)), ((0, 1), (0, 1)))
-        g_rel = jax.lax.dot_general(onehot, rel_bf, dn,
-                                    preferred_element_type=jnp.float32)
-        ghl = jax.lax.dot_general(
-            onehot, jnp.stack([idx_hi, idx_lo], axis=-1), dn,
-            preferred_element_type=jnp.float32)          # (B, M, K, 2)
-        g_idx = (ghl[..., 0] * 256 + ghl[..., 1]).astype(jnp.int32)
-        if D > 5:
+        dn = (((3,), (3,)), ((0, 1), (0, 1)))            # contract 9c (minor)
+        # ONE extraction dot per branch: rel, split idx and features share
+        # the same one-hot, so they ride one (B, M, K, 5+Cb) matmul instead
+        # of three dispatches
+        chans = [rel_bf, jnp.stack([idx_hi, idx_lo], axis=2)]
+        if D > 4:
             if feat_slices is not None and feat_slices[bi] is not None:
                 s0, s1 = feat_slices[bi]
-                fb = window[..., 5 + s0:5 + s1].astype(jnp.bfloat16)
+                chans.append(window[:, :, 4 + s0:4 + s1, :].astype(jnp.bfloat16))
             else:
-                fb = window[..., 5:].astype(jnp.bfloat16)
-            g_feat = jax.lax.dot_general(onehot, fb, dn,
-                                         preferred_element_type=jnp.float32)
-        else:
-            g_feat = None
+                chans.append(window[:, :, 4:, :].astype(jnp.bfloat16))
+        g_all = jax.lax.dot_general(onehot, jnp.concatenate(chans, axis=2),
+                                    dn, preferred_element_type=jnp.float32)
+        g_rel = g_all[..., :3]
+        # idx+1 extraction; empty balls extract 0 -> clamp keeps the
+        # reference "0 where no hit" contract
+        g_idx = jnp.maximum(
+            (g_all[..., 3] * 256 + g_all[..., 4]).astype(jnp.int32) - 1, 0)
+        g_feat = g_all[..., 5:] if D > 4 else None
         outs.append((g_rel, g_feat, g_idx, hits[..., 0] > 0))
     return outs
 

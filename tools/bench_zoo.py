@@ -1,0 +1,120 @@
+"""Detector-zoo inference throughput on the TPU (VERDICT r2 weak-1: bench
+evidence beyond the flagship). One jitted `predict` per config on
+synthetic production-shape batches, pipelined timing (bench.py
+methodology). Prints one JSON line per model.
+
+Usage: python tools/bench_zoo.py [cfg ...]   (default: the standard set)
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+DEFAULT = [
+    ('configs/kitti_models/pointpillar.yaml', 4),
+    ('configs/kitti_models/second.yaml', 2),
+    ('configs/kitti_models/second_sparse.yaml', 2),
+    ('configs/kitti_models/centerpoint_pillar.yaml', 4),
+    ('configs/kitti_models/voxel_rcnn.yaml', 2),
+    ('configs/kitti_models/voxelnext.yaml', 2),
+]
+
+
+def build_batch(cfg, B):
+    """Synthetic clouds -> the config's full host pipeline (voxelize +
+    kernel maps) or raw padded points for point models."""
+    from bench_second_sparse import synth_cloud
+    from pdm_ssd_tpu.datasets.processor.data_processor import DataProcessor
+    from pdm_ssd_tpu.models import get_host_prepare
+
+    rng = np.random.RandomState(0)
+    procs = cfg.DATA_CONFIG.DATA_PROCESSOR
+    has_voxels = any(p.NAME == 'transform_points_to_voxels' for p in procs)
+    if not has_voxels:
+        N = 16384
+        pts = np.zeros((B, N, 4), np.float32)
+        for b in range(B):
+            c = synth_cloud(rng)[:N]
+            pts[b, :len(c)] = c
+        return {'points': pts, 'batch_size': B}
+    proc = DataProcessor(procs,
+                         np.asarray(cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+                                    np.float32), training=False,
+                         num_point_features=4)
+    V = proc.max_num_voxels or 16000
+    spec = next(p for p in procs if p.NAME == 'transform_points_to_voxels')
+    npmax = spec.MAX_POINTS_PER_VOXEL
+    vox = np.zeros((B, V, npmax, 4), np.float32)
+    coords = np.zeros((B, V, 3), np.int32)
+    nump = np.zeros((B, V), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for b in range(B):
+        dd = proc.forward({'points': synth_cloud(rng)})
+        nv = min(len(dd['voxels']), V)
+        vox[b, :nv] = dd['voxels'][:nv]
+        coords[b, :nv] = dd['voxel_coords'][:nv]
+        nump[b, :nv] = dd['voxel_num_points'][:nv]
+        vmask[b, :nv] = True
+    batch = {'voxels': vox, 'voxel_coords': coords, 'voxel_num_points': nump,
+             'voxel_mask': vmask, 'batch_size': B}
+    prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
+    if prepare is not None:
+        batch = prepare(batch)
+    batch.pop('batch_size', None)
+    return batch
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', str(REPO / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    jax.config.update('jax_default_matmul_precision', 'bfloat16')
+    import jax.numpy as jnp
+
+    from pdm_ssd_tpu.utils.config import cfg_from_yaml_file, CfgNode
+    from pdm_ssd_tpu.models import build_network
+
+    targets = [(c, 2) for c in sys.argv[1:]] or DEFAULT
+    for cfgfile, B in targets:
+        try:
+            cfg = cfg_from_yaml_file(str(REPO / cfgfile), CfgNode())
+            model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                                  dataset_cfg=cfg.DATA_CONFIG,
+                                  class_names=cfg.CLASS_NAMES)
+            batch = build_batch(cfg, B)
+            batch = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                     for k, v in batch.items()}
+            t0 = time.time()
+            variables = jax.jit(lambda: model.init(
+                {'params': jax.random.PRNGKey(0)}, batch, training=False))()
+            predict = jax.jit(lambda b: model.apply(
+                variables, b, method=model.predict))
+            out = predict(batch)
+            jax.device_get(out['pred_scores'])
+            compile_s = time.time() - t0
+            iters = 10
+            rates = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [predict(batch) for _ in range(iters)]
+                jax.device_get(outs[-1]['pred_scores'])
+                rates.append(B * iters / (time.perf_counter() - t0))
+            fps = sorted(rates)[1]
+            print(json.dumps({
+                'cfg': Path(cfgfile).stem, 'batch': B,
+                'fps_per_chip': round(fps, 1),
+                'ms_per_batch': round(B / fps * 1e3, 1),
+                'compile_s': round(compile_s, 0)}), flush=True)
+        except Exception as e:  # keep the sweep going
+            print(json.dumps({'cfg': Path(cfgfile).stem,
+                              'error': f'{type(e).__name__}: {e}'[:200]}),
+                  flush=True)
+
+
+if __name__ == '__main__':
+    main()
