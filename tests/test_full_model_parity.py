@@ -252,3 +252,158 @@ def test_pointpillar_full_forward_parity(rng):
         got = np.asarray(out[key])
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
                                    err_msg=key)
+
+
+def test_centerpoint_pillar_full_forward_parity(rng):
+    """Second family at model-level parity: PillarVFE -> scatter -> BEV
+    backbone -> CenterHead (shared conv + SeparateHead branches), weights
+    ported from the reference torch modules (`center_head.py:12-46,76-97`).
+    The reference CenterHead constructor calls .cuda(), so the shared conv
+    and SeparateHead are built standalone exactly as it builds them."""
+    from functools import partial
+    ED = ref_oracle._EasyDict
+    ch_mod = ref_oracle.load('pcdet.models.dense_heads.center_head')
+
+    vfe, scatter, bev, _ = build_torch_modules()
+    C_in = bev.num_bev_features
+    SH = 32
+    torch.manual_seed(0)
+    shared_t = torch.nn.Sequential(
+        torch.nn.Conv2d(C_in, SH, 3, stride=1, padding=1, bias=False),
+        torch.nn.BatchNorm2d(SH, eps=1e-5, momentum=0.1),
+        torch.nn.ReLU())
+    head_dict = {
+        'center': {'out_channels': 2, 'num_conv': 2},
+        'center_z': {'out_channels': 1, 'num_conv': 2},
+        'dim': {'out_channels': 3, 'num_conv': 2},
+        'rot': {'out_channels': 2, 'num_conv': 2},
+        'hm': {'out_channels': 1, 'num_conv': 2},
+    }
+    head_t = ch_mod.SeparateHead(
+        input_channels=SH, sep_head_dict=ED(
+            {k: ED(v) for k, v in head_dict.items()}),
+        init_bias=-2.19, use_bias=False)
+    for m in (shared_t, head_t):
+        m.eval()
+    # randomize BN stats so parity is not trivially 0-mean/1-var
+    for m in list(shared_t.modules()) + list(head_t.modules()):
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+            m.running_var.copy_(1.0 + torch.rand_like(m.running_var))
+
+    vox, coords, nump = make_fixed_batch(rng)
+    B, V = vox.shape[:2]
+    tvox = torch.from_numpy(vox.reshape(-1, *vox.shape[2:]))
+    tco = torch.from_numpy(np.concatenate(
+        [np.repeat(np.arange(B), V)[:, None],
+         coords.reshape(-1, 3)], axis=1).astype(np.float32))
+    tnum = torch.from_numpy(nump.reshape(-1).astype(np.float32))
+    with torch.no_grad():
+        bd = {'voxels': tvox, 'voxel_coords': tco,
+              'voxel_num_points': tnum, 'batch_size': B}
+        bd = scatter(vfe(bd))
+        bd = bev(bd)
+        sh = shared_t(bd['spatial_features_2d'])
+        preds_t = {k: v.permute(0, 2, 3, 1).numpy()
+                   for k, v in head_t(sh).items()}
+
+    # ---- JAX model with the same weights
+    cfg = jax_cfg()
+    cfg.DENSE_HEAD = CfgNode({
+        'NAME': 'CenterHead', 'CLASS_AGNOSTIC': False,
+        'CLASS_NAMES_EACH_HEAD': [['Car']],
+        'SHARED_CONV_CHANNEL': SH, 'NUM_HM_CONV': 2,
+        'SEPARATE_HEAD_CFG': {
+            'HEAD_ORDER': ['center', 'center_z', 'dim', 'rot'],
+            'HEAD_DICT': {k: dict(v) for k, v in head_dict.items()
+                          if k != 'hm'}},
+        'TARGET_ASSIGNER_CONFIG': {
+            'FEATURE_MAP_STRIDE': 2, 'NUM_MAX_OBJS': 16,
+            'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 2.0,
+            'code_weights': [1.0] * 8}},
+        'POST_PROCESSING': {'SCORE_THRESH': 0.1, 'POST_CENTER_LIMIT_RANGE':
+                            [0, -16, -3, 32, 16, 1], 'MAX_OBJ_PER_SAMPLE': 16,
+                            'NMS_CONFIG': {'NMS_TYPE': 'nms_bev',
+                                           'NMS_THRESH': 0.7,
+                                           'NMS_PRE_MAXSIZE': 32,
+                                           'NMS_POST_MAXSIZE': 16}},
+    })
+    cfg.NAME = 'CenterPoint'
+    model = build_network(cfg, num_class=1, dataset_cfg=ds_cfg(),
+                          class_names=['Car'])
+    batch = {'voxels': jnp.asarray(vox), 'voxel_coords': jnp.asarray(coords),
+             'voxel_num_points': jnp.asarray(nump),
+             'voxel_mask': jnp.asarray(nump > 0)}
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    bs = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    def map_no_heads(params, bs):
+        # the PointPillar VFE/BEV mapping, minus the anchor-head convs
+        for i, pfn in enumerate(vfe.pfn_layers):
+            params['module_list_0'][f'pfn_{i}']['kernel'] = np.asarray(
+                t2j(pfn.linear.weight.T))
+            p, s = bn_vars(pfn.norm)
+            params['module_list_0'][f'pfn_bn_{i}'] = {
+                'scale': np.asarray(p['scale']), 'bias': np.asarray(p['bias'])}
+            bs['module_list_0'][f'pfn_bn_{i}'] = {
+                'mean': np.asarray(s['mean']), 'var': np.asarray(s['var'])}
+        tgt, tgt_bs = params['module_list_2'], bs['module_list_2']
+        for i, block in enumerate(bev.blocks):
+            convs = [m for m in block if isinstance(m, torch.nn.Conv2d)]
+            bns = [m for m in block if isinstance(m, torch.nn.BatchNorm2d)]
+            for k, (cv, bn) in enumerate(zip(convs, bns)):
+                tgt[f'down{i}_conv{k}']['kernel'] = np.asarray(conv_w(cv.weight))
+                p, s = bn_vars(bn)
+                tgt[f'down{i}_bn{k}'] = {'scale': np.asarray(p['scale']),
+                                         'bias': np.asarray(p['bias'])}
+                tgt_bs[f'down{i}_bn{k}'] = {'mean': np.asarray(s['mean']),
+                                            'var': np.asarray(s['var'])}
+        for i, de in enumerate(bev.deblocks):
+            cv, bn = de[0], de[1]
+            if isinstance(cv, torch.nn.ConvTranspose2d):
+                tgt[f'up{i}_deconv']['kernel'] = np.asarray(deconv_w(cv.weight))
+            else:
+                tgt[f'up{i}_conv']['kernel'] = np.asarray(conv_w(cv.weight))
+            p, s = bn_vars(bn)
+            tgt[f'up{i}_bn'] = {'scale': np.asarray(p['scale']),
+                                'bias': np.asarray(p['bias'])}
+            tgt_bs[f'up{i}_bn'] = {'mean': np.asarray(s['mean']),
+                                   'var': np.asarray(s['var'])}
+        return params, bs
+
+    params, bs = map_no_heads(params, bs)
+    # center head: shared conv + per-branch stacks
+    h, hbs = params['dense_head'], bs['dense_head']
+    h['shared_conv'] = {'kernel': np.asarray(conv_w(shared_t[0].weight))}
+    p, s = bn_vars(shared_t[1])
+    h['shared_bn'] = {'scale': np.asarray(p['scale']),
+                      'bias': np.asarray(p['bias'])}
+    hbs['shared_bn'] = {'mean': np.asarray(s['mean']),
+                        'var': np.asarray(s['var'])}
+    for name in head_dict:
+        fc = getattr(head_t, name)
+        hd, hdbs = h['head'], hbs['head']
+        for k in range(head_dict[name]['num_conv'] - 1):
+            conv, bn = fc[k][0], fc[k][1]
+            hd[f'{name}_conv{k}']['kernel'] = np.asarray(conv_w(conv.weight))
+            p, s = bn_vars(bn)
+            hd[f'{name}_bn{k}'] = {'scale': np.asarray(p['scale']),
+                                   'bias': np.asarray(p['bias'])}
+            hdbs[f'{name}_bn{k}'] = {'mean': np.asarray(s['mean']),
+                                     'var': np.asarray(s['var'])}
+        out_conv = fc[-1]
+        hd[f'{name}_out'] = {'kernel': np.asarray(conv_w(out_conv.weight)),
+                             'bias': np.asarray(t2j(out_conv.bias))}
+
+    out = model.apply({'params': jax.tree_util.tree_map(jnp.asarray, params),
+                       'batch_stats': jax.tree_util.tree_map(jnp.asarray, bs)},
+                      batch, training=False)
+    preds_j = out['center_head_preds'][0]
+    for name in head_dict:
+        np.testing.assert_allclose(
+            np.asarray(preds_j[name]), preds_t[name], rtol=1e-3, atol=1e-3,
+            err_msg=f'CenterHead branch {name}')
