@@ -133,10 +133,15 @@ def _compact_batched(verts: jax.Array, valid: jax.Array, out_slots: int):
     return out, cnt
 
 
-def _clip_halfplane_batched(verts, cnt, a, b):
+def _clip_halfplane_batched(verts, cnt, a, b, out_slots):
     """Batched Sutherland-Hodgman clip by the half-plane left of edge a->b.
     verts (R, P, 2) contiguous-prefix polygons with counts cnt (R,);
-    a, b: (R, 2). Returns compacted (verts, cnt)."""
+    a, b: (R, 2). Returns compacted (verts (R, out_slots, 2), cnt).
+
+    `out_slots` grows 5..8 across the four clips (convex-polygon ∩
+    half-plane adds at most one vertex) instead of a fixed 16-slot buffer,
+    and the interleave is a stack+reshape rather than two strided scatters
+    — together ~2x less NMS-matrix traffic (round-3 PointPillar trace)."""
     R, P, _ = verts.shape
     e = b - a                                             # (R, 2)
     d = (e[:, None, 0] * (verts[..., 1] - a[:, None, 1])
@@ -154,13 +159,10 @@ def _clip_halfplane_batched(verts, cnt, a, b):
     t = d / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
     inter = verts + t[..., None] * (v_nxt - verts)
 
-    out_verts = jnp.zeros((R, 2 * P, 2), verts.dtype)
-    out_valid = jnp.zeros((R, 2 * P), bool)
-    out_verts = out_verts.at[:, 0::2].set(verts)
-    out_valid = out_valid.at[:, 0::2].set(live & cur_in)
-    out_verts = out_verts.at[:, 1::2].set(inter)
-    out_valid = out_valid.at[:, 1::2].set(live & (cur_in != nxt_in))
-    return _compact_batched(out_verts, out_valid, P)
+    out_verts = jnp.stack([verts, inter], axis=2).reshape(R, 2 * P, 2)
+    out_valid = jnp.stack([live & cur_in, live & (cur_in != nxt_in)],
+                          axis=2).reshape(R, 2 * P)
+    return _compact_batched(out_verts, out_valid, out_slots)
 
 
 def _overlap_bev_batched(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
@@ -170,13 +172,14 @@ def _overlap_bev_batched(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     R = boxes_a.shape[0]
     ca = _boxes_to_corners_batched(boxes_a)               # (R, 4, 2)
     cb = _boxes_to_corners_batched(boxes_b)
-    verts = jnp.zeros((R, _P, 2), boxes_a.dtype).at[:, :4].set(ca)
+    verts = ca
     cnt = jnp.full((R,), 4, jnp.int32)
     for k in range(4):                                    # unrolled clip edges
         verts, cnt = _clip_halfplane_batched(verts, cnt, cb[:, k],
-                                             cb[:, (k + 1) % 4])
+                                             cb[:, (k + 1) % 4],
+                                             out_slots=5 + k)
     # shoelace over the contiguous prefix (dead slots pinned to v0)
-    idx = jnp.arange(_P)[None, :]
+    idx = jnp.arange(verts.shape[1])[None, :]
     v = jnp.where((idx < cnt[:, None])[..., None], verts, verts[:, :1])
     v_next = jnp.roll(v, -1, axis=1)
     cross = v[..., 0] * v_next[..., 1] - v_next[..., 0] * v[..., 1]
