@@ -146,6 +146,87 @@ def gather_taps_xwin(feats, plan):
     return g.reshape(B, V, G * 3 * C)
 
 
+def qwin_plan(nbr, pad):
+    """Quad-window fetch plan for a 27-tap kernel map: pack every 4
+    consecutive output slots x (dz, dy) tap group into ONE 6-slot window
+    based at j = min(present tap slots). Halves the gathered bytes vs
+    `xwin_plan` (9 rows of 6C per 4 sites = 13.5C/site vs 27C/site); taps
+    whose slot offset exceeds 5 are zeroed here and re-added exactly by the
+    host-built correction list (`ops/sparse_maps.qwin_corr_buckets`).
+
+    Returns (r (B, G4, 9) int32 row into the front/back-zero-padded 6C
+    window table, pick (B, G4, 4, 9, 3) int8 in {0..5, 6=zero}). The
+    gather emits ceil(V/4)*4 rows; the caller slices back to V."""
+    B, V, K = nbr.shape
+    G = K // 3
+    V4 = -(-V // 4) * 4
+    if V4 != V:
+        nbr = jnp.pad(nbr, ((0, 0), (0, V4 - V), (0, 0)),
+                      constant_values=pad)
+    l = nbr.reshape(B, V4 // 4, 4, G, 3)
+    present = l < pad
+    lm = jnp.where(present, l, jnp.iinfo(jnp.int32).max)
+    j = lm.min(axis=(2, 4))                                # (B, G4, G)
+    any_p = present.any(axis=(2, 4))
+    r = jnp.where(any_p, j + 1, pad + 1).astype(jnp.int32)
+    off = l - j[:, :, None, :, None]
+    pick = jnp.where(present & (off <= 5), off, 6).astype(jnp.int8)
+    return r, pick
+
+
+def gather_taps_qwin(feats, plan):
+    """Quad-window gather using a `qwin_plan`: one 6C row per (4-site
+    group, tap group) instead of xwin's 3C row per (site, tap group) —
+    half the gathered bytes at 2x the extraction selects (VPU work at HBM
+    copy rates, far above the ~50 GB/s gather ceiling; BENCH_NOTES round
+    3). Equal to the plain 27-row gather wherever `pick < 6`; overflow
+    taps read zero and are restored by the correction list."""
+    r, pick = plan
+    B, Vin, C = feats.shape
+    G4, G = r.shape[1], r.shape[2]
+    zero1 = jnp.zeros((B, 1, C), feats.dtype)
+    zero6 = jnp.zeros((B, 6, C), feats.dtype)
+    P = jnp.concatenate([zero1, feats, zero6], axis=1)     # (B, Vin+7, C)
+    # x6[r] = [feats[r-1], ..., feats[r+4]]; row Vin+1 is all-zero
+    x6 = jnp.concatenate([P[:, k:k + Vin + 2] for k in range(6)], axis=-1)
+    boff = (jnp.arange(B, dtype=r.dtype) * (Vin + 2))[:, None, None]
+    g = x6.reshape(B * (Vin + 2), 6 * C)[(r + boff).reshape(-1)]
+    g = g.reshape(B, G4, 1, G, 1, 6, C)
+    out = jnp.zeros((B, G4, 4, G, 3, C), feats.dtype)
+    sel = pick[..., None]                                  # (B,G4,4,G,3,1)
+    for o in range(6):
+        out = out + jnp.where(sel == o, g[..., o, :], 0.0)
+    return out.reshape(B, G4 * 4, G * 3 * C)
+
+
+def qwin_corrections(x, feats, kernel, corr, dtype):
+    """Re-add the overflow taps dropped by the quad-window gather: one
+    narrow row gather + 27 tap-masked (E, C) @ (C, Cout) matmuls + one
+    scatter-add. Exactly reproduces `gathered[tap] @ W[tap]` for each
+    host-enumerated (out_slot, tap, in_slot) entry; pad entries read the
+    zero row and add zero to row 0."""
+    qcin, qcout, qctap = corr                              # (B, E) each
+    B, Vin, C = feats.shape
+    E = qcin.shape[1]
+    Vout, F = x.shape[1], x.shape[2]
+    table = jnp.concatenate(
+        [feats, jnp.zeros((B, 1, C), feats.dtype)], axis=1)
+    bin_ = (jnp.arange(B, dtype=qcin.dtype) * (Vin + 1))[:, None]
+    rows = table.reshape(B * (Vin + 1), C)[(qcin + bin_).reshape(-1)]
+    rows = rows.reshape(B, E, C).astype(dtype)
+    w3 = kernel.reshape(27, C, F).astype(dtype)
+    contrib = jnp.zeros((B, E, F), jnp.float32)
+    for k in range(27):
+        masked = jnp.where((qctap == k)[..., None], rows, 0.0)
+        contrib = contrib + jax.lax.dot_general(
+            masked, w3[k], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    bout = (jnp.arange(B, dtype=qcout.dtype) * Vout)[:, None]
+    flat = x.reshape(B * Vout, F).at[(qcout + bout).reshape(-1)].add(
+        contrib.reshape(-1, F).astype(x.dtype))
+    return flat.reshape(B, Vout, F)
+
+
 class SparseConvBNReLU(nn.Module):
     """One sparse conv layer (submanifold when `nbr` maps a stage onto
     itself; strided when it maps onto the previous stage's slots).
@@ -163,15 +244,23 @@ class SparseConvBNReLU(nn.Module):
                                      # bytes (the ladder is gather-BW bound)
 
     @nn.compact
-    def __call__(self, feats, nbr, out_mask, training: bool = False):
+    def __call__(self, feats, nbr, out_mask, training: bool = False,
+                 corr=None):
         if self.table_dtype is not None:
             feats = feats.astype(self.table_dtype)
-        if isinstance(nbr, tuple):       # precomputed xwin_plan
+        if isinstance(nbr, tuple) and nbr[1].ndim == 5:   # qwin_plan
+            x = gather_taps_qwin(feats, nbr)[:, :out_mask.shape[1]]
+        elif isinstance(nbr, tuple):                      # xwin_plan
             x = gather_taps_xwin(feats, nbr)
         else:
             x = gather_taps(feats, nbr)
-        x = nn.Dense(self.features, use_bias=False,
-                     dtype=self.table_dtype or jnp.float32)(x)
+        dt = self.table_dtype or jnp.float32
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        x = jax.lax.dot_general(x, kernel.astype(dt),
+                                (((2,), (0,)), ((), ())))
+        if corr is not None:
+            x = qwin_corrections(x, feats, kernel, corr, dt)
         if self.use_bn:
             x = MaskedBatchNorm()(x, out_mask, training)
         if self.use_relu:
@@ -190,15 +279,15 @@ class SparseBasicBlock(nn.Module):
     table_dtype: object = None
 
     @nn.compact
-    def __call__(self, feats, nbr, mask, training: bool = False):
+    def __call__(self, feats, nbr, mask, training: bool = False, corr=None):
         identity = feats
         x = SparseConvBNReLU(self.features, barrier=self.barrier,
                              table_dtype=self.table_dtype)(
-            feats, nbr, mask, training)
+            feats, nbr, mask, training, corr)
         x = SparseConvBNReLU(self.features, use_relu=False,
                              barrier=self.barrier,
                              table_dtype=self.table_dtype)(x, nbr, mask,
-                                                           training)
+                                                           training, corr)
         x = nn.relu(x + identity)
         return jnp.where(mask[..., None], x, 0.0)
 
@@ -233,58 +322,68 @@ class SparseVoxelBackBone8x(nn.Module):
         filters = cfg.get('NUM_FILTERS', [16, 32, 64, 64])
         out_ch = cfg.get('OUT_FEATURES', 128)
         residual = cfg.get('RESIDUAL', self.residual)
-        # window-fetch gather: 3x fewer gathered rows, exact (see
-        # xwin_plan) — but currently triggers pathological XLA:TPU compile
-        # times/worker crashes at production shapes (BENCH_NOTES round 3);
-        # off by default until the lowering issue is resolved
+        # window-fetch gathers (both exact):
+        #   XWIN — 9 rows of 3C per site (3x fewer gathered rows);
+        #   QWIN — 9 rows of 6C per 4-site group (2x fewer gathered bytes
+        #   than xwin) + host-built overflow-correction lists
+        #   (`ops/sparse_maps.qwin_corr_buckets`; requires the *_qcin/_qcout/
+        #   _qctap batch keys from host_prepare). QWIN wins where present.
         xwin = cfg.get('XWIN', False)
-        barrier = cfg.get('LAYER_BARRIER', xwin)
+        qwin = cfg.get('QWIN', False) and 'sp_submap1_qcin' in batch
+        barrier = cfg.get('LAYER_BARRIER', xwin or qwin)
         tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
             str(cfg.get('TABLE_DTYPE', '')).lower())
         feats = batch['voxel_features']                  # (B, cap1, Cin)
         ms = {}
 
-        def stage_blocks(x, nbr, mask, ch, n_sub, name):
+        def make_plan(key, nbr, cap_in):
+            if qwin:
+                corr = (batch[f'{key}_qcin'], batch[f'{key}_qcout'],
+                        batch[f'{key}_qctap'])
+                return qwin_plan(nbr, cap_in), corr
+            if xwin:
+                return xwin_plan(nbr, cap_in), None
+            return nbr, None
+
+        def stage_blocks(x, nbr, mask, ch, n_sub, name, corr):
             for i in range(n_sub):
                 if residual:
                     x = SparseBasicBlock(ch, barrier=barrier,
                                          table_dtype=tdt,
                                          name=f'{name}_block{i}')(
-                        x, nbr, mask, training)
+                        x, nbr, mask, training, corr)
                 else:
                     x = SparseConvBNReLU(ch, barrier=barrier,
                                          table_dtype=tdt,
                                          name=f'{name}_subm{i}')(
-                        x, nbr, mask, training)
+                        x, nbr, mask, training, corr)
             return x
 
         # reorder input voxel features into sorted-slot order
         feats = jax.vmap(lambda f, p: f[p])(feats, batch['sp_perm1'])
 
         # conv_input + conv1 (stage 1, submanifold only)
-        m1, n1 = batch['sp_mask1'], batch['sp_submap1']
-        if xwin:
-            n1 = xwin_plan(n1, feats.shape[1])
+        m1 = batch['sp_mask1']
+        n1, c1 = make_plan('sp_submap1', batch['sp_submap1'], feats.shape[1])
         x = SparseConvBNReLU(filters[0], barrier=barrier, table_dtype=tdt,
                              name='conv_input')(
-            jnp.where(m1[..., None], feats, 0.0), n1, m1, training)
+            jnp.where(m1[..., None], feats, 0.0), n1, m1, training, c1)
         n_sub1 = 2 if residual else 1
-        x = stage_blocks(x, n1, m1, filters[0], n_sub1, 'conv1')
+        x = stage_blocks(x, n1, m1, filters[0], n_sub1, 'conv1', c1)
         ms['x_conv1'] = (x, batch['sp_coords1'], m1, 1)
 
         # stages 2-4: strided down conv + submanifold blocks
         for s, ch in zip((2, 3, 4), filters[1:]):
             mask_s = batch[f'sp_mask{s}']
             prev_cap = x.shape[1]
-            down = batch[f'sp_downmap{s}']
-            sub = batch[f'sp_submap{s}']
-            if xwin:
-                down = xwin_plan(down, prev_cap)
-                sub = xwin_plan(sub, mask_s.shape[1])
+            down, cd = make_plan(f'sp_downmap{s}', batch[f'sp_downmap{s}'],
+                                 prev_cap)
+            sub, cs = make_plan(f'sp_submap{s}', batch[f'sp_submap{s}'],
+                                mask_s.shape[1])
             x = SparseConvBNReLU(ch, barrier=barrier, table_dtype=tdt,
                                  name=f'down{s}')(
-                x, down, mask_s, training)
-            x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}')
+                x, down, mask_s, training, cd)
+            x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}', cs)
             ms[f'x_conv{s}'] = (x, batch[f'sp_coords{s}'], mask_s, 2 ** (s - 1))
 
         # conv_out: z-stride (3,1,1)/(2,1,1) down conv

@@ -30,7 +30,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ['build_backbone8x_maps', 'batch_build_backbone8x',
-           'ladder_shapes', 'LADDER_KEYS']
+           'ladder_shapes', 'LADDER_KEYS', 'qwin_corr_buckets',
+           'QWIN_MAP_NAMES', 'qwin_keys']
 
 
 def _flat(coords, dims):
@@ -202,14 +203,124 @@ def build_backbone8x_maps(coords, n_valid, grid_size_whd, caps):
     return out
 
 
-def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps):
+def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
+                           qwin_corr_cap=None):
     """Stack `build_backbone8x_maps` over the batch dim.
-    voxel_coords: (B, V, 3) zyx; voxel_mask: (B, V) bool."""
+    voxel_coords: (B, V, 3) zyx; voxel_mask: (B, V) bool.
+    `qwin_corr_cap`: per-tap correction-bucket capacity (int or
+    {map_name: int}) — adds the quad-window correction keys (see
+    `qwin_corr_buckets`) needed when BACKBONE_3D.QWIN is on."""
     per = [build_backbone8x_maps(np.asarray(voxel_coords[b]),
                                  int(np.sum(voxel_mask[b])),
                                  grid_size_whd, caps)
            for b in range(len(voxel_coords))]
-    return {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
+    out = {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
+    if qwin_corr_cap is not None:
+        out.update(batch_qwin_corrections(out, caps, qwin_corr_cap))
+    return out
+
+
+# ---- quad-window correction buckets ----------------------------------------
+#
+# The device-side quad-window gather (`sparse_backbone.qwin_plan` /
+# `gather_taps_qwin`) packs each group of 4 consecutive output slots x each
+# (dz, dy) tap group into ONE fetched 6-slot window based at
+# j = min(present tap slots); taps whose slot offset exceeds 5 overflow the
+# window and are zeroed in the main path. These helpers enumerate exactly
+# those (output slot, tap, input slot) triples on the host and bucket them
+# per tap, so the device can re-add their contribution with one narrow
+# gather + one (27, n, C) x (27, C, Cout) matmul + one scatter-add — keeping
+# the quad-window conv EXACT. Measured on 0.05 m KITTI-scale clouds the
+# overflow is 0.1-7% of windows (BENCH_NOTES round 3), so buckets are small.
+
+# maps eligible for the quad-window fetch (27-tap convs; conv_out's
+# k(3,1,1) taps are not x-adjacent and stays on the plain gather)
+QWIN_MAP_NAMES = ('sp_submap1', 'sp_downmap2', 'sp_submap2', 'sp_downmap3',
+                  'sp_submap3', 'sp_downmap4', 'sp_submap4')
+
+# input-table capacity index (into `caps`) for each quad-window map
+_QWIN_CAP_IN = {'sp_submap1': 0, 'sp_downmap2': 0, 'sp_submap2': 1,
+                'sp_downmap3': 1, 'sp_submap3': 2, 'sp_downmap4': 2,
+                'sp_submap4': 3}
+
+
+# default flat correction-list capacities, ~4x the counts measured on
+# production-density 0.05 m clouds (B=2, 16k voxels); override via
+# BACKBONE_3D.QWIN_CORR_CAP (int or per-map dict)
+QWIN_CORR_CAP_DEFAULT = {
+    'sp_submap1': 512, 'sp_downmap2': 2048, 'sp_submap2': 12288,
+    'sp_downmap3': 2048, 'sp_submap3': 24576, 'sp_downmap4': 16384,
+    'sp_submap4': 4096,
+}
+
+
+def qwin_keys(names=QWIN_MAP_NAMES):
+    return sum([[f'{n}_qcin', f'{n}_qcout', f'{n}_qctap'] for n in names], [])
+
+
+def qwin_overflow_entries(nbr, cap_in):
+    """Overflow triples of one sample's 27-tap map under the quad-window
+    plan. nbr: (cap_out, 27) with cap_in = absent. Returns (out_slot (E,),
+    tap (E,), in_slot (E,)) — must mirror `sparse_backbone.qwin_plan`'s
+    j = min-present choice exactly."""
+    cap_out, K = nbr.shape
+    assert K == 27
+    V4 = -(-cap_out // 4) * 4
+    l = np.full((V4, 27), cap_in, nbr.dtype)
+    l[:cap_out] = nbr
+    l = l.reshape(V4 // 4, 4, 9, 3)
+    present = l < cap_in
+    lm = np.where(present, l.astype(np.int64), np.iinfo(np.int64).max)
+    j = lm.min(axis=(1, 3))                       # (G4, 9)
+    off = l - j[:, None, :, None]
+    ovf = present & (off > 5)
+    g4, site, grp, t = np.nonzero(ovf)
+    out_slot = (g4 * 4 + site).astype(np.int32)
+    tap = (grp * 3 + t).astype(np.int32)
+    in_slot = l[g4, site, grp, t].astype(np.int32)
+    keep = out_slot < cap_out
+    return out_slot[keep], tap[keep], in_slot[keep]
+
+
+def qwin_corr_buckets(nbr, cap_in, capc):
+    """Flat fixed-capacity correction list for one map: returns (qcin
+    (capc,) input slots, qcout (capc,) output slots, qctap (capc,) tap ids).
+    Pad entries read the zero row (in = cap_in) and land on row 0 with an
+    exactly-zero contribution. Entries beyond `capc` are dropped with the
+    repo-wide cap-saturation convention (count available via
+    `qwin_overflow_entries`)."""
+    out_slot, tap, in_slot = qwin_overflow_entries(nbr, cap_in)
+    n = min(len(out_slot), capc)
+    qcin = np.full((capc,), cap_in, np.int32)
+    qcout = np.zeros((capc,), np.int32)
+    qctap = np.zeros((capc,), np.int32)
+    qcin[:n] = in_slot[:n]
+    qcout[:n] = out_slot[:n]
+    qctap[:n] = tap[:n]
+    return qcin, qcout, qctap
+
+
+def batch_qwin_corrections(maps, caps, capc=None):
+    """Correction lists for every quad-window map of a batched ladder
+    build. `maps`: the batched LADDER_KEYS dict; `capc`: int, per-map dict,
+    or None (QWIN_CORR_CAP_DEFAULT). Returns
+    {f'{name}_qcin'/'_qcout'/'_qctap': (B, capc)}."""
+    out = {}
+    B = len(maps['sp_submap1'])
+    for name in QWIN_MAP_NAMES:
+        cap_in = caps[_QWIN_CAP_IN[name]]
+        if capc is None or capc is True:
+            cc = QWIN_CORR_CAP_DEFAULT[name]
+        elif isinstance(capc, dict):
+            cc = int(capc[name])
+        else:
+            cc = int(capc)
+        per = [qwin_corr_buckets(np.asarray(maps[name][b]), cap_in, cc)
+               for b in range(B)]
+        out[f'{name}_qcin'] = np.stack([p[0] for p in per])
+        out[f'{name}_qcout'] = np.stack([p[1] for p in per])
+        out[f'{name}_qctap'] = np.stack([p[2] for p in per])
+    return out
 
 
 def default_caps(max_voxels):

@@ -335,3 +335,111 @@ def test_native_builder_matches_numpy(rng):
     for k in sm.LADDER_KEYS:
         np.testing.assert_array_equal(np.asarray(ref[k], np.int64),
                                       np.asarray(nat[k], np.int64), err_msg=k)
+
+
+def test_qwin_gather_matches_plain(rng):
+    """Quad-window gather: wherever pick < 6 the result equals the plain
+    gather; overflow taps read zero (restored later by corrections)."""
+    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
+        gather_taps, gather_taps_qwin, qwin_plan)
+    dims = (6, 12, 16)
+    c = random_actives(rng, dims, 150)
+    cap = 192
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:150] = c
+    for nbr in (sm._subm_map(coords, 150, dims, (3, 3, 3)),
+                sm._down_map(coords, 150, dims,
+                             *sm._down_sites(coords, 150, dims, (3, 3, 3),
+                                             (2, 2, 2), (1, 1, 1), 256)[:2],
+                             (3, 3, 3), (2, 2, 2), (1, 1, 1))):
+        feats = rng.randn(2, cap, 8).astype(np.float32)
+        feats[:, 150:] = 0
+        nbr_b = np.tile(nbr[None], (2, 1, 1))
+        a = np.asarray(gather_taps(jnp.asarray(feats), jnp.asarray(nbr_b)))
+        plan = qwin_plan(jnp.asarray(nbr_b), cap)
+        B, Vo = nbr_b.shape[:2]
+        b = np.asarray(gather_taps_qwin(jnp.asarray(feats), plan))[:, :Vo]
+        # overflow positions: zero in b, plain value in a
+        r, pick = plan
+        pk = np.asarray(pick).transpose(0, 1, 2, 3, 4)      # (B,G4,4,9,3)
+        pk = pk.reshape(B, -1, 27)[:, :Vo]
+        C = 8
+        af = a.reshape(B, Vo, 27, C)
+        bf = b.reshape(B, Vo, 27, C)
+        ovf = pk == 6
+        np.testing.assert_array_equal(bf[ovf], np.zeros_like(bf[ovf]))
+        np.testing.assert_array_equal(bf[~ovf], af[~ovf])
+
+
+@pytest.mark.parametrize('density', ['dense', 'sparse'])
+def test_qwin_layer_with_corrections_matches_plain(rng, density):
+    """Full layer equality: qwin gather + correction list == plain gather,
+    through the conv matmul, on subm and strided maps. The 'sparse' case
+    (few actives in a large grid) forces heavy window overflow, exercising
+    the correction path hard."""
+    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
+        SparseConvBNReLU, qwin_plan)
+    if density == 'dense':
+        dims, n, cap = (6, 12, 16), 150, 192
+        c = random_actives(rng, dims, n)
+    else:
+        # ground-plane-like slab: dense x-rows crossing y — quads span row
+        # boundaries whose neighbor taps land >5 slots away (overflow)
+        dims, cap = (4, 24, 12), 160
+        ok = rng.rand(24, 12) < 0.7
+        ys, xs = np.nonzero(ok)
+        c = np.stack([np.ones_like(ys), ys, xs], -1).astype(np.int32)
+        n = min(len(c), cap)
+        c = c[:n]
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n] = c
+    co, n_out, _ = sm._down_sites(coords, n, dims, (3, 3, 3), (2, 2, 2),
+                                  (1, 1, 1), 2 * cap)
+    cases = [
+        (sm._subm_map(coords, n, dims, (3, 3, 3)), cap, n, cap),
+        (sm._down_map(coords, n, dims, co, n_out, (3, 3, 3), (2, 2, 2),
+                      (1, 1, 1)), cap, n_out, 2 * cap),
+    ]
+    for nbr, cap_in, n_valid_out, cap_out in cases:
+        feats = rng.randn(2, cap_in, 8).astype(np.float32)
+        feats[:, n if cap_in == cap else n_out:] = 0
+        nbr_b = np.tile(nbr[None], (2, 1, 1))
+        mask = np.zeros((2, cap_out), bool)
+        mask[:, :n_valid_out] = True
+        # overflow stats: ensure the sparse case actually overflows
+        o, t, i = sm.qwin_overflow_entries(nbr, cap_in)
+        if density == 'sparse':
+            assert len(o) > 0
+        capc = max(8, len(o) + 4)
+        qcin, qcout, qctap = sm.qwin_corr_buckets(nbr, cap_in, capc)
+        corr = tuple(jnp.asarray(np.tile(v[None], (2, 1)))
+                     for v in (qcin, qcout, qctap))
+        layer = SparseConvBNReLU(10, use_bn=False, use_relu=False)
+        var = layer.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                         jnp.asarray(nbr_b), jnp.asarray(mask))
+        ref = layer.apply(var, jnp.asarray(feats), jnp.asarray(nbr_b),
+                          jnp.asarray(mask))
+        plan = qwin_plan(jnp.asarray(nbr_b), cap_in)
+        got = layer.apply(var, jnp.asarray(feats), plan, jnp.asarray(mask),
+                          False, corr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_qwin_corr_saturation_drops_exactly_tail(rng):
+    """Bucket overflow beyond capc drops entries (cap-saturation
+    convention) — the kept prefix still applies exactly."""
+    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
+        SparseConvBNReLU, qwin_plan)
+    dims, cap = (4, 24, 12), 160
+    ok = rng.rand(24, 12) < 0.7
+    ys, xs = np.nonzero(ok)
+    c = np.stack([np.ones_like(ys), ys, xs], -1).astype(np.int32)
+    n = min(len(c), cap)
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n] = c[:n]
+    nbr = sm._subm_map(coords, n, dims, (3, 3, 3))
+    o, t, i = sm.qwin_overflow_entries(nbr, cap)
+    assert len(o) > 2
+    qcin, qcout, qctap = sm.qwin_corr_buckets(nbr, cap, 2)
+    assert (qcin[:2] == i[:2]).all() and (qcout[:2] == o[:2]).all()

@@ -23,7 +23,8 @@ def main():
 
     from pdm_ssd_tpu.ops.sparse_maps import batch_build_backbone8x
     from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
-        gather_taps, gather_taps_xwin, xwin_plan)
+        gather_taps, gather_taps_xwin, xwin_plan,
+        gather_taps_qwin, qwin_plan)
     from bench_utils_sparse import make_coords
 
     B = 2
@@ -93,12 +94,34 @@ def main():
                 t = bench(f'{name:22s} xwin g+mm ', xl, feats, plan, w)
                 tot[f'xl_{dt_name}'] += t * n_layers
 
+                qplan = jax.jit(lambda n: qwin_plan(n, cap_in))(nbr)
+
+                def qg(feats, qplan, s):
+                    return gather_taps_qwin(feats + s.astype(feats.dtype),
+                                            qplan)
+                t = bench(f'{name:22s} qwin gather', qg, feats, qplan)
+                tot[f'qg_{dt_name}'] = tot.get(f'qg_{dt_name}', 0) \
+                    + t * n_layers
+
+                def ql(feats, qplan, w, s):
+                    g = gather_taps_qwin(feats + s.astype(feats.dtype),
+                                         qplan)
+                    return jax.lax.dot_general(
+                        g, w, (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                t = bench(f'{name:22s} qwin g+mm ', ql, feats, qplan, w)
+                tot[f'ql_{dt_name}'] = tot.get(f'ql_{dt_name}', 0) \
+                    + t * n_layers
+
             def pg(feats, nbr, s):
                 return gather_taps(feats + s.astype(feats.dtype), nbr)
             bench(f'{name:22s} plain gather', pg, feats, nbr)
         print(f'xwin gathers total ({dt_name}): '
               f'{tot[f"xg_{dt_name}"]:.1f} ms; '
               f'gather+matmul total: {tot[f"xl_{dt_name}"]:.1f} ms')
+        print(f'qwin gathers total ({dt_name}): '
+              f'{tot[f"qg_{dt_name}"]:.1f} ms; '
+              f'gather+matmul total: {tot[f"ql_{dt_name}"]:.1f} ms')
 
 
 if __name__ == '__main__':
