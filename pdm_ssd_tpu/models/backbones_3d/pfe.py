@@ -9,10 +9,12 @@ for the dense TPU voxel pipeline:
 - 'raw_points' source: fused multi-radius SA around the keypoints
   (`SA_rawpoints`, reference :160-166) via `SAGroupMLP`.
 - 'x_conv1..4' sources: the reference runs stacked SA with voxel-hash queries
-  over sparse voxel features (`voxel_query_gpu.cu`); our backbone is DENSE,
-  so the neighborhood query becomes a fixed 3x3x3 window fetch around each
-  keypoint's cell — occupancy-masked, relative-offset-conditioned MLP +
-  max-pool (`VoxelNeighborAgg`). Same role, no hash tables.
+  over sparse voxel features (`voxel_query_gpu.cu`); here the neighborhood
+  query is a fixed 3x3x3 window fetch around each keypoint's cell —
+  occupancy-masked, relative-offset-conditioned MLP + max-pool. Two exact
+  variants share weights: `VoxelNeighborAgg` reads the dense ladder's
+  volumes; `SparseVoxelNeighborAgg` reads the sparse ladder's slot tables
+  through a scattered slot-ID grid (the voxel-hash analog, TPU-first).
 - 'bev' source: bilinear interpolation of `spatial_features` at keypoint xy
   (`interpolate_from_bev_features`, reference :177-203).
 - fusion: Dense+BN+ReLU to NUM_OUTPUT_FEATURES (`vsa_point_feature_fusion`,
@@ -136,6 +138,109 @@ class VoxelNeighborAgg(nn.Module):
         return jnp.where(any_occ[..., None], out, 0.0)
 
 
+class SparseVoxelNeighborAgg(nn.Module):
+    """Sparse-slot-table variant of `VoxelNeighborAgg` — the reference's
+    voxel-hash neighborhood query (`voxel_query_gpu.cu` +
+    `voxel_pool_modules.py:8`) recast TPU-first: the stage's active set is
+    scattered ONCE into a dense int32 slot-ID grid (stage grids are 8-512x
+    smaller than the input grid, so this fits where dense features would
+    not), and each query point's 3x3x3 neighborhood is two static-shape
+    gathers — scalar slot ids from the ID grid, then feature rows from the
+    slot table. MLP/max-pool semantics and param shapes are identical to
+    the dense module (the parity test loads one's weights into the other).
+    This is what lets Voxel R-CNN / PV-RCNN pool multi-scale features at
+    the reference's native 0.05 m regime, where dense per-stage volumes
+    cannot exist."""
+    mlp: Sequence[int]
+    downsample: int
+    voxel_size: Any
+    pc_range: Any
+    dims: Any                    # (D, H, W) of this stage's sparse grid
+
+    @nn.compact
+    def __call__(self, feats, coords, mask, keypoints,
+                 training: bool = False):
+        """feats (B, V, C) slot table; coords (B, V, 3) int32 zyx; mask
+        (B, V); keypoints (B, K, 3) -> (B, K, mlp[-1])."""
+        B, V, C = feats.shape
+        D, H, W = (int(v) for v in self.dims)
+        vx = self.voxel_size[0] * self.downsample
+        vy = self.voxel_size[1] * self.downsample
+        vz = self.voxel_size[2] * self.downsample
+        kx = (keypoints[..., 0] - self.pc_range[0]) / vx
+        ky = (keypoints[..., 1] - self.pc_range[1]) / vy
+        kz = (keypoints[..., 2] - self.pc_range[2]) / vz
+        # identical base-cell clipping to the dense module (parity)
+        ix = jnp.clip(kx.astype(jnp.int32), 1, max(W - 2, 0))
+        iy = jnp.clip(ky.astype(jnp.int32), 0, H - 1)
+        iz = jnp.clip(kz.astype(jnp.int32), 0, D - 1)
+
+        # slot-ID grid: cell -> slot+1 (0 = empty); flat-batch scatter
+        ncell = D * H * W
+        co = coords.astype(jnp.int32)
+        key = (co[..., 0] * H + co[..., 1]) * W + co[..., 2]
+        key = jnp.where(mask, key, ncell)
+        boff = (jnp.arange(B, dtype=key.dtype) * (ncell + 1))[:, None]
+        ids = jnp.zeros((B * (ncell + 1),), jnp.int32).at[
+            (key + boff).reshape(-1)].set(
+            jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32) + 1,
+                             (B, V)).reshape(-1))
+        # pin the ID grid as its own fusion island — letting XLA fuse the
+        # 24M-row scatter with the downstream gathers triggers the same
+        # pathological XLA:TPU compile as the xwin ladder (BENCH_NOTES)
+        ids = jax.lax.optimization_barrier(ids).reshape(B, ncell + 1, 1)
+
+        offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                    indexing='ij'), -1).reshape(27, 3)
+        zz = iz[..., None] + offs[None, None, :, 0]        # (B, K, 27)
+        yy = iy[..., None] + offs[None, None, :, 1]
+        xx = ix[..., None] + offs[None, None, :, 2]
+        okb = ((zz >= 0) & (zz < D) & (yy >= 0) & (yy < H)
+               & (xx >= 0) & (xx < W))
+        q = jnp.where(okb, (zz * H + yy) * W + xx, ncell)
+        K = keypoints.shape[1]
+        slot1 = flat_gather(ids, q.reshape(B, K * 27))[..., 0]
+        slot1 = slot1.reshape(B, K, 27)
+        hit = (slot1 > 0) & okb
+        table = jnp.concatenate(
+            [feats, jnp.zeros((B, 1, C), feats.dtype)], axis=1)
+        rows = flat_gather(table, jnp.where(hit, slot1 - 1, V)
+                           .reshape(B, K * 27))
+        rows = rows.reshape(B, K, 27, C).astype(jnp.float32)
+
+        # relative offset of each neighbor cell center from the keypoint
+        # (identical formula to VoxelNeighborAgg; offs is zyx -> flip)
+        base = jnp.stack([ix, iy, iz], -1).astype(jnp.float32)
+        frac = jnp.stack([kx, ky, kz], -1) - base
+        rel = (jnp.asarray(offs[:, ::-1], jnp.float32)[None, None] + 0.5
+               - frac[:, :, None, :])
+        rel = rel * jnp.asarray([vx, vy, vz], jnp.float32)
+
+        h = jnp.concatenate([rel, rows], axis=-1)
+        for i, c in enumerate(self.mlp):
+            h = nn.Dense(c, use_bias=False, name=f'fc{i}')(h)
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, name=f'bn{i}')(h)
+            h = nn.relu(h)
+        h = jnp.where(hit[..., None], h, -jnp.inf)
+        out = jnp.max(h, axis=2)
+        any_occ = jnp.any(hit, axis=2)
+        return jax.lax.optimization_barrier(
+            jnp.where(any_occ[..., None], out, 0.0))
+
+
+def sparse_stage_dims(point_cloud_range, voxel_size, stride):
+    """(D, H, W) of a sparse-ladder stage grid given its downsample stride
+    (1/2/4/8 -> ladder stages 1-4), matching `ops/sparse_maps.ladder_shapes`
+    (input z extent +1, reference `sparse_shape = grid_size[::-1]+[1,0,0]`)."""
+    from ...ops.sparse_maps import ladder_shapes
+    import numpy as _np
+    pr = _np.asarray(point_cloud_range, _np.float64)
+    grid = _np.round((pr[3:6] - pr[0:3]) / _np.asarray(voxel_size)
+                     ).astype(int)
+    return ladder_shapes(grid)[{1: 0, 2: 1, 4: 2, 8: 3}[int(stride)]]
+
+
 class VoxelSetAbstraction(nn.Module):
     model_cfg: Any
     voxel_size: Any
@@ -209,13 +314,25 @@ class VoxelSetAbstraction(nn.Module):
             if not src.startswith('x_conv'):
                 continue
             scfg = sa_cfg[src]
-            vol, occ, stride = batch['multi_scale_3d_features'][src]
             mlps = [list(m) for m in scfg.MLPS]
             mlp = mlps[0] if isinstance(mlps[0], list) else mlps
-            sources.append(VoxelNeighborAgg(
-                mlp=mlp, downsample=int(scfg.DOWNSAMPLE_FACTOR),
-                voxel_size=self.voxel_size, pc_range=pr, name=f'agg_{src}')(
-                    vol, occ, keypoints, training=training))
+            if 'multi_scale_3d_features' in batch:
+                vol, occ, stride = batch['multi_scale_3d_features'][src]
+                sources.append(VoxelNeighborAgg(
+                    mlp=mlp, downsample=int(scfg.DOWNSAMPLE_FACTOR),
+                    voxel_size=self.voxel_size, pc_range=pr,
+                    name=f'agg_{src}')(vol, occ, keypoints,
+                                       training=training))
+            else:
+                # sparse-ladder multi-scale sources (native 0.05 m regime)
+                f, co, mk, stride = \
+                    batch['multi_scale_3d_features_sparse'][src]
+                sources.append(SparseVoxelNeighborAgg(
+                    mlp=mlp, downsample=int(scfg.DOWNSAMPLE_FACTOR),
+                    voxel_size=self.voxel_size, pc_range=pr,
+                    dims=sparse_stage_dims(pr, self.voxel_size, stride),
+                    name=f'agg_{src}')(f, co, mk, keypoints,
+                                       training=training))
 
         fused = jnp.concatenate(sources, axis=-1)
         batch['point_features_before_fusion'] = fused

@@ -32,6 +32,30 @@ from ..dense_heads.anchor_head import AnchorHeadMulti, AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
 
 
+def build_voxel_backbone_3d(bb_cfg, input_channels, grid_size,
+                            voxel_size=None, pc_range=None):
+    """Name-dispatched voxel BACKBONE_3D builder (reference
+    `detector3d_template.build_backbone_3d:74-88` selects by NAME).
+    Shared by the generic `Detector3D` and the explicit two-stage
+    assemblies (PV-RCNN / Voxel R-CNN / SECOND-IoU / MPPNet) so that any
+    of them can run the sparse 0.05 m ladder by config alone."""
+    name = bb_cfg.get('NAME', 'VoxelBackBone8x')
+    if name in ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x'):
+        from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
+        return SparseVoxelBackBone8x(
+            model_cfg=bb_cfg, input_channels=input_channels,
+            grid_size=grid_size,
+            residual=(name == 'SparseVoxelResBackBone8x'))
+    if name == 'VoxelBackBone8xFocal':
+        from ..backbones_3d.sparse_backbone_focal import VoxelBackBone8xFocal
+        return VoxelBackBone8xFocal(
+            model_cfg=bb_cfg, input_channels=input_channels,
+            grid_size=grid_size, voxel_size=voxel_size, point_cloud_range=pc_range)
+    return DenseVoxelBackBone8x(model_cfg=bb_cfg,
+                                input_channels=input_channels,
+                                grid_size=grid_size)
+
+
 def _grid_info(ds_cfg):
     """grid size (W, H, D) + voxel size from the dataset processor config
     (reference threads these through `model_info_dict`)."""
@@ -86,24 +110,10 @@ class Detector3D(nn.Module):
                                          input_channels=num_pf,
                                          pc_range=pc_range)
                 vfe_out = bb3d.num_point_features
-            elif bb_name in ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x'):
-                from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
-                bb3d = SparseVoxelBackBone8x(
-                    model_cfg=cfg.BACKBONE_3D, input_channels=vfe_out,
-                    grid_size=(gw, gh, gd),
-                    residual=(bb_name == 'SparseVoxelResBackBone8x'))
-                vfe_out = bb3d.num_bev_features
-            elif bb_name == 'VoxelBackBone8xFocal':
-                from ..backbones_3d.sparse_backbone_focal import VoxelBackBone8xFocal
-                bb3d = VoxelBackBone8xFocal(
-                    model_cfg=cfg.BACKBONE_3D, input_channels=vfe_out,
-                    grid_size=(gw, gh, gd), voxel_size=voxel,
-                    point_cloud_range=pc_range)
-                vfe_out = bb3d.num_bev_features
             else:
-                bb3d = DenseVoxelBackBone8x(model_cfg=cfg.BACKBONE_3D,
-                                            input_channels=vfe_out,
-                                            grid_size=(gw, gh, gd))
+                bb3d = build_voxel_backbone_3d(
+                    cfg.BACKBONE_3D, vfe_out, (gw, gh, gd),
+                    voxel_size=voxel, pc_range=pc_range)
                 vfe_out = bb3d.num_bev_features
             modules.append(bb3d)
 

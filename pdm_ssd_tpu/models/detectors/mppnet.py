@@ -13,10 +13,9 @@ from __future__ import annotations
 from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_3d.vfe import MeanVFE
-from ..backbones_3d.voxel_backbone import DenseVoxelBackBone8x
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..roi_heads.mppnet_head import MPPNetHead
-from .detector3d import _grid_info
+from .detector3d import _grid_info, build_voxel_backbone_3d
 from .pv_rcnn import PVRCNN
 
 
@@ -30,9 +29,9 @@ class MPPNet(PVRCNN):
         (gw, gh, gd), voxel = _grid_info(ds)
 
         self.vfe = MeanVFE(model_cfg=cfg.VFE, num_point_features=num_pf)
-        self.backbone_3d = DenseVoxelBackBone8x(
-            model_cfg=cfg.BACKBONE_3D, input_channels=num_pf,
-            grid_size=(gw, gh, gd))
+        self.backbone_3d = build_voxel_backbone_3d(
+            cfg.BACKBONE_3D, num_pf, (gw, gh, gd),
+            voxel_size=voxel, pc_range=pc_range)
         self.backbone_2d = BaseBEVBackbone(
             model_cfg=cfg.BACKBONE_2D,
             input_channels=self.backbone_3d.num_bev_features)

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.config import as_cfg
-from ..backbones_3d.pfe import VoxelNeighborAgg
+from ..backbones_3d.pfe import (VoxelNeighborAgg, SparseVoxelNeighborAgg,
+                                sparse_stage_dims)
 from ..layers import FCStack, SharedMLP
 from .roi_head_template import RoIHeadTemplate
 from .pvrcnn_head import dense_grid_points
@@ -48,12 +49,26 @@ class VoxelRCNNHead(RoIHeadTemplate):
         feats = []
         for src in pool_cfg.FEATURES_SOURCE:
             scfg = pool_cfg[src]
-            vol, occ, stride = batch['multi_scale_3d_features'][src]
             mlp = [int(c) for c in scfg.MLPS]
-            feats.append(VoxelNeighborAgg(
-                mlp=mlp, downsample=int(stride),
-                voxel_size=self.voxel_size, pc_range=self.point_cloud_range,
-                name=f'agg_{src}')(vol, occ, grid, training=training))
+            if 'multi_scale_3d_features' in batch:
+                vol, occ, stride = batch['multi_scale_3d_features'][src]
+                feats.append(VoxelNeighborAgg(
+                    mlp=mlp, downsample=int(stride),
+                    voxel_size=self.voxel_size,
+                    pc_range=self.point_cloud_range,
+                    name=f'agg_{src}')(vol, occ, grid, training=training))
+            else:
+                # sparse ladder (the reference's native 0.05 m regime):
+                # pool through the slot-ID-grid voxel query
+                f, co, mk, stride = \
+                    batch['multi_scale_3d_features_sparse'][src]
+                feats.append(SparseVoxelNeighborAgg(
+                    mlp=mlp, downsample=int(stride),
+                    voxel_size=self.voxel_size,
+                    pc_range=self.point_cloud_range,
+                    dims=sparse_stage_dims(self.point_cloud_range,
+                                           self.voxel_size, stride),
+                    name=f'agg_{src}')(f, co, mk, grid, training=training))
         pooled = jnp.concatenate(feats, axis=-1)          # (B, R*G3, SC)
         x = pooled.reshape(B, R, G3 * pooled.shape[-1])
         x = SharedMLP(tuple(cfg.get('SHARED_FC', [256, 256])),

@@ -443,3 +443,43 @@ def test_qwin_corr_saturation_drops_exactly_tail(rng):
     assert len(o) > 2
     qcin, qcout, qctap = sm.qwin_corr_buckets(nbr, cap, 2)
     assert (qcin[:2] == i[:2]).all() and (qcout[:2] == o[:2]).all()
+
+
+def test_qwin_full_backbone_matches_plain(rng):
+    """SECOND assembly with QWIN on vs off, same params: the quad-window
+    gather + host correction lists must reproduce the plain path through
+    the whole ladder (covers host_prepare's *_qcin/_qcout/_qctap keys)."""
+    import jax
+    import jax.numpy as jnp
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
+
+    cfg = second_sparse_cfg()
+    ds = ds_cfg_fine()
+    from tests.test_sparse_two_stage import _fine_voxel_batch
+    batch_np = {k: np.asarray(v)
+                for k, v in _fine_voxel_batch(rng).items()}
+
+    from pdm_ssd_tpu.utils.config import CfgNode
+    cfg_q = CfgNode({**cfg, 'BACKBONE_3D': dict(cfg['BACKBONE_3D'],
+                                                QWIN=True,
+                                                QWIN_CORR_CAP=256)})
+    model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    model_q = build_network(cfg_q, num_class=3, dataset_cfg=ds,
+                            class_names=['Car', 'Pedestrian', 'Cyclist'])
+    prep = get_host_prepare(cfg, ds)
+    prep_q = get_host_prepare(cfg_q, ds)
+    b0 = {k: jnp.asarray(v) for k, v in prep(dict(batch_np)).items()}
+    bq = {k: jnp.asarray(v) for k, v in prep_q(dict(batch_np)).items()}
+    assert 'sp_submap1_qcin' in bq and 'sp_submap1_qcin' not in b0
+
+    variables = model.init({'params': jax.random.PRNGKey(0)}, b0,
+                           training=False)
+    ref = model.apply(variables, b0, method=model.predict)
+    got = model_q.apply(variables, bq, method=model_q.predict)
+    np.testing.assert_allclose(np.asarray(got['pred_boxes']),
+                               np.asarray(ref['pred_boxes']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got['pred_scores']),
+                               np.asarray(ref['pred_scores']),
+                               rtol=1e-4, atol=1e-4)

@@ -53,15 +53,20 @@ def build_batch(cfg, B):
     coords = np.zeros((B, V, 3), np.int32)
     nump = np.zeros((B, V), np.int32)
     vmask = np.zeros((B, V), bool)
+    N = 16384
+    pts = np.zeros((B, N, 4), np.float32)
     for b in range(B):
-        dd = proc.forward({'points': synth_cloud(rng)})
+        cloud = synth_cloud(rng)
+        pts[b, :min(N, len(cloud))] = cloud[:N]
+        dd = proc.forward({'points': cloud})
         nv = min(len(dd['voxels']), V)
         vox[b, :nv] = dd['voxels'][:nv]
         coords[b, :nv] = dd['voxel_coords'][:nv]
         nump[b, :nv] = dd['voxel_num_points'][:nv]
         vmask[b, :nv] = True
+    # raw points ride along for VSA-bearing models (PV-RCNN family)
     batch = {'voxels': vox, 'voxel_coords': coords, 'voxel_num_points': nump,
-             'voxel_mask': vmask, 'batch_size': B}
+             'voxel_mask': vmask, 'points': pts, 'batch_size': B}
     prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
     if prepare is not None:
         batch = prepare(batch)
