@@ -21,6 +21,8 @@ DEFAULT = [
     ('configs/kitti_models/second_sparse.yaml', 2),
     ('configs/kitti_models/centerpoint_pillar.yaml', 4),
     ('configs/kitti_models/voxel_rcnn.yaml', 2),
+    ('configs/kitti_models/voxel_rcnn_sparse.yaml', 2),
+    ('configs/kitti_models/pv_rcnn_sparse.yaml', 2),
     ('configs/kitti_models/voxelnext.yaml', 2),
 ]
 
