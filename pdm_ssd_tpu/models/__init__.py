@@ -12,7 +12,8 @@ def build_network(model_cfg, num_class, dataset_cfg, class_names=None):
                           dataset_cfg=dataset_cfg, class_names=class_names)
 
 
-_SPARSE_BB_NAMES = ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x')
+_SPARSE_BB_NAMES = ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x',
+                    'SparseUNetV2')
 
 
 def get_host_prepare(model_cfg, dataset_cfg):
@@ -57,6 +58,10 @@ def get_host_prepare(model_cfg, dataset_cfg):
             bev_hw = ladder_shapes(grid)[4][1:]
             batch.update(batch_build_bev(batch['sp_coords_out'],
                                          batch['sp_mask_out'], bev_hw))
+        if bb.get('NAME') == 'SparseUNetV2':
+            # decoder inverse-conv maps = transposed down maps
+            from ..ops.sparse_maps import batch_invert_down_maps
+            batch.update(batch_invert_down_maps(batch, caps))
         return batch
     return prepare
 

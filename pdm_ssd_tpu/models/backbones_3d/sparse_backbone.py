@@ -413,3 +413,138 @@ class SparseVoxelBackBone8x(nn.Module):
             dense.shape[0], Hy, Wx, Dz * out_ch)
         batch['spatial_features_stride'] = 8
         return batch
+
+
+class SparseUNetV2(nn.Module):
+    """Sparse UNet backbone for point-wise feature learning (Part-A2) —
+    the TPU-native re-design of `pcdet/models/backbones_3d/spconv_unet.py:
+    UNetV2:49-230`: the VoxelBackBone8x encoder ladder (same host kernel
+    maps) plus the UR-block decoder, where spconv's `SparseInverseConv3d`
+    (transposed rulebook via indice_key reuse, `spconv_unet.py:114`)
+    becomes one gather+matmul over the host-inverted down map
+    (`ops/sparse_maps.invert_down_map`) — same fixed-shape machinery as
+    every other layer of the ladder.
+
+    UR block (`UR_block_forward`, reference :135-144):
+        t = SparseBasicBlock(lateral)            # conv_up_t, subm
+        cat = [bottom, t]                        # 2C channels
+        m = SubmConvBNReLU(cat) -> C             # conv_up_m
+        red = cat.view(N, C, 2).sum(-1)          # channel_reduction :146-161
+        x = inv_conv(m + red) -> finer stage     # inv_conv / conv5
+
+    Consumes the ladder tables plus sp_upmap{2,3,4} (host_prepare adds
+    them for this backbone). Adds to batch: 'spatial_features' (stride-8
+    BEV from conv_out), 'point_features' (B, cap1, C0) at the stage-1
+    slots, 'point_coords' (voxel centers), 'point_mask'.
+    """
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any                 # (W, H, D)
+    voxel_size: Any = (0.05, 0.05, 0.1)
+    point_cloud_range: Any = (0, -40, -3, 70.4, 40, 1)
+
+    def _shapes(self):
+        return ladder_shapes(self.grid_size)
+
+    @property
+    def num_bev_features(self):
+        cfg = as_cfg(self.model_cfg)
+        return cfg.get('OUT_FEATURES', 128) * self._shapes()[4][0]
+
+    @property
+    def num_point_features(self):
+        return as_cfg(self.model_cfg).get('NUM_FILTERS',
+                                          [16, 32, 64, 64])[0]
+
+    @nn.compact
+    def __call__(self, batch: dict, training: bool = False) -> dict:
+        cfg = as_cfg(self.model_cfg)
+        filters = cfg.get('NUM_FILTERS', [16, 32, 64, 64])
+        out_ch = cfg.get('OUT_FEATURES', 128)
+        xwin = cfg.get('XWIN', False)
+        barrier = cfg.get('LAYER_BARRIER', xwin)
+        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
+            str(cfg.get('TABLE_DTYPE', '')).lower())
+
+        def plan(nbr, cap_in):
+            return xwin_plan(nbr, cap_in) if xwin else nbr
+
+        def conv(x, nbr, mask, ch, name, relu=True):
+            return SparseConvBNReLU(ch, use_relu=relu, barrier=barrier,
+                                    table_dtype=tdt, name=name)(
+                x, nbr, mask, training)
+
+        feats = batch['voxel_features']
+        feats = jax.vmap(lambda f, p: f[p])(feats, batch['sp_perm1'])
+
+        m = {s: batch[f'sp_mask{s}'] for s in (1, 2, 3, 4)}
+        sub = {1: plan(batch['sp_submap1'], feats.shape[1])}
+        enc = {}
+
+        # encoder (identical structure to SparseVoxelBackBone8x /
+        # reference UNetV2 conv_input..conv4)
+        x = conv(jnp.where(m[1][..., None], feats, 0.0), sub[1], m[1],
+                 filters[0], 'conv_input')
+        x = conv(x, sub[1], m[1], filters[0], 'conv1_subm0')
+        enc[1] = x
+        for s, ch in zip((2, 3, 4), filters[1:]):
+            down = plan(batch[f'sp_downmap{s}'], x.shape[1])
+            sub[s] = plan(batch[f'sp_submap{s}'], m[s].shape[1])
+            x = conv(x, down, m[s], ch, f'down{s}')
+            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm0')
+            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm1')
+            enc[s] = x
+
+        # conv_out -> stride-8 BEV (detection branch, as the 8x ladder)
+        mo = batch['sp_mask_out']
+        xo = conv(x, batch['sp_outmap'], mo, out_ch, 'conv_out')
+        Dz, Hy, Wx = self._shapes()[4]
+        co = batch['sp_coords_out'].astype(jnp.int32)
+        ncell = Dz * Hy * Wx
+        flat = jnp.where(mo, (co[..., 0] * Hy + co[..., 1]) * Wx
+                         + co[..., 2], ncell)
+        B = flat.shape[0]
+        boff = (jnp.arange(B, dtype=flat.dtype) * (ncell + 1))[:, None]
+        canvas = jnp.zeros((B * (ncell + 1), out_ch), xo.dtype)
+        dense = canvas.at[(flat + boff).reshape(-1)].add(
+            xo.reshape(-1, out_ch)).reshape(B, ncell + 1, out_ch)[:, :ncell]
+        dense = dense.reshape(-1, Dz, Hy, Wx, out_ch)
+        batch['spatial_features'] = jnp.moveaxis(dense, 1, 3).reshape(
+            dense.shape[0], Hy, Wx, Dz * out_ch)
+        batch['spatial_features_stride'] = 8
+
+        # decoder: UR blocks 4 -> 1 (reference forward :199-207)
+        def ur(lateral, bottom, s, ch, ch_out, up_nbr, up_mask, name):
+            t = SparseBasicBlock(ch, barrier=barrier, table_dtype=tdt,
+                                 name=f'{name}_t')(
+                lateral, sub[s], m[s], training)
+            cat = jnp.concatenate([bottom, t], axis=-1)          # (B,V,2C)
+            xm = conv(cat, sub[s], m[s], ch, f'{name}_m')
+            red = cat.reshape(*cat.shape[:-1], ch, 2).sum(-1)
+            x = jnp.where(m[s][..., None], xm + red, 0.0)
+            return conv(x, up_nbr, up_mask, ch_out, f'{name}_inv')
+
+        up = {s: plan(batch[f'sp_upmap{s}'], m[s].shape[1])
+              for s in (2, 3, 4)}
+        x_up4 = ur(enc[4], enc[4], 4, filters[3], filters[2],
+                   up[4], m[3], 'up4')
+        x_up3 = ur(enc[3], x_up4, 3, filters[2], filters[1],
+                   up[3], m[2], 'up3')
+        x_up2 = ur(enc[2], x_up3, 2, filters[1], filters[0],
+                   up[2], m[1], 'up2')
+        # UR1's "inverse" slot is the plain subm conv5 (reference :130,207)
+        x_up1 = ur(enc[1], x_up2, 1, filters[0], filters[0],
+                   sub[1], m[1], 'up1')
+
+        # per-voxel point features at the stage-1 slots (= input voxels in
+        # sorted-slot order), reference forward :210-216
+        c1 = batch['sp_coords1'].astype(jnp.float32)             # zyx
+        vsz = jnp.asarray(self.voxel_size, jnp.float32)
+        org = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        centers = jnp.stack([(c1[..., 2] + 0.5) * vsz[0] + org[0],
+                             (c1[..., 1] + 0.5) * vsz[1] + org[1],
+                             (c1[..., 0] + 0.5) * vsz[2] + org[2]], -1)
+        batch['point_features'] = x_up1.astype(jnp.float32)
+        batch['point_coords'] = centers
+        batch['point_mask'] = m[1]
+        return batch

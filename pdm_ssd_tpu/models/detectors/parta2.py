@@ -34,10 +34,17 @@ class PartA2Net(PVRCNN):
         (gw, gh, gd), voxel = _grid_info(ds)
 
         self.vfe = MeanVFE(model_cfg=cfg.VFE, num_point_features=num_pf)
-        self.backbone_3d = DenseUNetV2(
-            model_cfg=cfg.BACKBONE_3D, input_channels=num_pf,
-            grid_size=(gw, gh, gd), voxel_size=voxel,
-            point_cloud_range=pc_range)
+        if cfg.BACKBONE_3D.get('NAME') == 'SparseUNetV2':
+            from ..backbones_3d.sparse_backbone import SparseUNetV2
+            self.backbone_3d = SparseUNetV2(
+                model_cfg=cfg.BACKBONE_3D, input_channels=num_pf,
+                grid_size=(gw, gh, gd), voxel_size=voxel,
+                point_cloud_range=pc_range)
+        else:
+            self.backbone_3d = DenseUNetV2(
+                model_cfg=cfg.BACKBONE_3D, input_channels=num_pf,
+                grid_size=(gw, gh, gd), voxel_size=voxel,
+                point_cloud_range=pc_range)
         self.backbone_2d = BaseBEVBackbone(
             model_cfg=cfg.BACKBONE_2D,
             input_channels=self.backbone_3d.num_bev_features)

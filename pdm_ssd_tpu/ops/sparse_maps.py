@@ -220,6 +220,36 @@ def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
     return out
 
 
+def invert_down_map(downmap, cap_in):
+    """Transposed rulebook of a strided conv — the host analog of spconv's
+    `SparseInverseConv3d` reusing the down conv's indice_key
+    (`pcdet/models/backbones_3d/spconv_unet.py:114` `conv_type='inverseconv'`):
+    up[j, K-1-k] = i iff downmap[i, k] == j, i.e. fine slot j receives the
+    coarse slot i that consumed it at tap k, stored at the FLIPPED tap
+    index (transposed convs use the flipped kernel — and, operationally,
+    flipping restores increasing-slot order within each x-tap group, which
+    `xwin_plan`'s window fetch requires: i's cell = (j_cell + pad - tap_k)
+    / stride DEcreases with tap_k). The (j, k) -> i assignment is unique
+    by geometry. downmap: (cap_out, K) int32 with pad = cap_in; returns
+    (cap_in, K) int32 with pad = cap_out — the same layout every
+    `gather_taps` / `xwin_plan` consumer already understands."""
+    cap_out, K = downmap.shape
+    up = np.full((cap_in + 1, K), cap_out, np.int32)
+    ii, kk = np.nonzero(downmap < cap_in)
+    up[downmap[ii, kk], K - 1 - kk] = ii.astype(np.int32)
+    return up[:cap_in]
+
+
+def batch_invert_down_maps(maps, caps):
+    """sp_upmap{2,3,4} for the UNet decoder, from the batched ladder maps."""
+    out = {}
+    for s, cap_in in zip((2, 3, 4), caps[:3]):
+        dm = maps[f'sp_downmap{s}']
+        out[f'sp_upmap{s}'] = np.stack(
+            [invert_down_map(dm[b], cap_in) for b in range(len(dm))])
+    return out
+
+
 # ---- quad-window correction buckets ----------------------------------------
 #
 # The device-side quad-window gather (`sparse_backbone.qwin_plan` /

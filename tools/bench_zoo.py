@@ -23,6 +23,7 @@ DEFAULT = [
     ('configs/kitti_models/voxel_rcnn.yaml', 2),
     ('configs/kitti_models/voxel_rcnn_sparse.yaml', 2),
     ('configs/kitti_models/pv_rcnn_sparse.yaml', 2),
+    ('configs/kitti_models/parta2_sparse.yaml', 2),
     ('configs/kitti_models/voxelnext.yaml', 2),
 ]
 
