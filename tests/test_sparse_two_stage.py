@@ -71,12 +71,12 @@ def test_sparse_voxel_agg_matches_dense(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def _fine_voxel_batch(rng):
+def _fine_voxel_batch(rng, B=2):
     """Voxelize the zoo test batch at the fine test grid (matches the
     second-sparse assembly test's inline voxelization)."""
     from tests.test_detector3d_zoo import make_batch
-    batch = make_batch(rng)
-    B, V = 2, 256
+    batch = make_batch(rng, B=B)
+    V = 256
     coords = np.zeros((B, V, 3), np.int32)
     feats_pts = np.zeros((B, V, 5, 4), np.float32)
     nump = np.zeros((B, V), np.int32)

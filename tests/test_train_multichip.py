@@ -164,3 +164,64 @@ def test_sparse_ladder_multichip_parity(rng):
     np.testing.assert_allclose(l_m, l_s, rtol=2e-5)
     np.testing.assert_allclose(np.sort(s_m.ravel()), np.sort(s_s.ravel()),
                                rtol=1e-3, atol=1e-4)
+
+
+def _two_stage_multichip_case(rng, cfg_model, ds):
+    """Shared driver: sharded train step + predict vs single-device on the
+    same global batch (pattern of `test_sparse_ladder_multichip_parity`)."""
+    from pdm_ssd_tpu.models import get_host_prepare
+
+    model = build_network(cfg_model, num_class=3, dataset_cfg=ds,
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tests'))
+    from test_sparse_two_stage import _fine_voxel_batch
+    batch = _fine_voxel_batch(rng, B=8)
+    batch = get_host_prepare(cfg_model, ds)(
+        {k: np.asarray(v) for k, v in batch.items()})
+
+    state, tx, _ = create_train_state(
+        model, batch, opt_cfg(), total_iters_each_epoch=10, total_epochs=2)
+    train_step = make_train_step(model, tx)
+    predict = make_predict_step(model)
+
+    results = {}
+    for name, devs in [('multi', jax.devices()), ('single', jax.devices()[:1])]:
+        mesh = make_mesh(devices=devs)
+        st = replicate(jax.tree_util.tree_map(jnp.copy, state), mesh)
+        db = shard_batch(batch, mesh)
+        st2, metrics = train_step(st, db)
+        dets = predict(st2.params, st2.batch_stats, db)
+        results[name] = (float(jax.device_get(metrics['loss'])),
+                         np.asarray(jax.device_get(dets['pred_scores'])))
+    l_m, s_m = results['multi']
+    l_s, s_s = results['single']
+    assert np.isfinite(l_m)
+    np.testing.assert_allclose(l_m, l_s, rtol=2e-5)
+    np.testing.assert_allclose(np.sort(s_m.ravel()), np.sort(s_s.ravel()),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sparse_two_stage_multichip_parity(rng):
+    """Voxel R-CNN on the sparse ladder under the 8-device mesh: the
+    slot-ID-grid ROI pooling's flat-batch scatter/gather must be
+    shard-correct (batch offsets are per-shard under pjit)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tests'))
+    from test_sparse_two_stage import _sparsify
+    from test_sparse_backbone import ds_cfg_fine
+    from test_detector3d_zoo import voxelrcnn_cfg
+    _two_stage_multichip_case(rng, _sparsify(voxelrcnn_cfg()), ds_cfg_fine())
+
+
+def test_sparse_unet_multichip_parity(rng):
+    """Part-A2's sparse UNet (inverse-conv decoder) under the 8-device
+    mesh vs single-device."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tests'))
+    from test_sparse_unet import _parta2_sparse_cfg
+    from test_sparse_backbone import ds_cfg_fine
+    _two_stage_multichip_case(rng, _parta2_sparse_cfg(), ds_cfg_fine())
