@@ -167,3 +167,17 @@ def test_voxel_rcnn_on_sparse_ladder(rng):
 def test_pv_rcnn_on_sparse_ladder(rng):
     from tests.test_detector3d_zoo import pvrcnn_cfg
     _run_assembly(rng, _sparsify(pvrcnn_cfg()))
+
+
+def test_pv_rcnn_plusplus_on_sparse_ladder(rng):
+    """PV-RCNN++ (proposal-first keypoints + VectorPool raw-point agg)
+    assembles over the sparse ladder via the same NAME dispatch."""
+    from tests.test_detector3d_zoo import pvrcnn_cfg
+    from pdm_ssd_tpu.utils.config import CfgNode
+    cfg = pvrcnn_cfg()
+    cfg.NAME = 'PVRCNNPlusPlus'
+    cfg.PFE.SAMPLE_METHOD = 'SPC'
+    cfg.PFE.SPC_SAMPLING = CfgNode({'SAMPLE_RADIUS_WITH_ROI': 4.0})
+    cfg.PFE.SA_LAYER.raw_points.AGGREGATION = 'VectorPoolAgg'
+    cfg.PFE.SA_LAYER.raw_points.LOCAL_GRID = 2
+    _run_assembly(rng, _sparsify(cfg))
