@@ -34,11 +34,16 @@ def get_host_prepare(model_cfg, dataset_cfg):
     from ..ops.sparse_maps import batch_build_backbone8x, default_caps
     grid, _ = _grid_info(dataset_cfg)
     caps_cfg = bb.get('ACTIVE_CAPS', None)
-    # quad-window gather needs host-built overflow-correction lists
+    # packed-window gathers need host-built overflow-correction lists
     qwin_cap = bb.get('QWIN_CORR_CAP', True) if bb.get('QWIN', False) \
         else None
     if isinstance(qwin_cap, dict):
         qwin_cap = dict(qwin_cap)
+    pwin_cap = None
+    if qwin_cap is None and bb.get('PWIN', False):
+        pwin_cap = bb.get('PWIN_CORR_CAP', True)
+        if isinstance(pwin_cap, dict):
+            pwin_cap = dict(pwin_cap)
 
     want_bev = model_cfg.get('DENSE_HEAD', {}).get('NAME') == 'VoxelNeXtHead'
 
@@ -52,7 +57,7 @@ def get_host_prepare(model_cfg, dataset_cfg):
         batch.update(batch_build_backbone8x(
             np.asarray(batch['voxel_coords']),
             np.asarray(batch['voxel_mask']), grid, caps,
-            qwin_corr_cap=qwin_cap))
+            qwin_corr_cap=qwin_cap, pwin_corr_cap=pwin_cap))
         if want_bev:
             from ..ops.sparse_maps import batch_build_bev, ladder_shapes
             bev_hw = ladder_shapes(grid)[4][1:]

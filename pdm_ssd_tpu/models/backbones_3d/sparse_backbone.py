@@ -199,6 +199,71 @@ def gather_taps_qwin(feats, plan):
     return out.reshape(B, G4 * 4, G * 3 * C)
 
 
+def pwin_plan(nbr, pad):
+    """Pair-window fetch plan for a 27-tap kernel map: pack every 2
+    consecutive output slots x (dz, dy) tap group into ONE 4-slot window
+    based at j = min(present tap slots). vs `xwin_plan`: 2x fewer gathered
+    ROWS (9 per site pair instead of 9 per site) and 1.5x fewer bytes
+    (4C per 2 sites = 2C/site vs 3C/site) — the ladder is row-latency /
+    gather-bandwidth bound (BENCH_NOTES round 3), and pair coverage on
+    0.05 m clouds is 89-100% per map, far above the quad variant's. Taps
+    whose slot offset exceeds 3 are zeroed here and re-added exactly by the
+    host-built correction list (`ops/sparse_maps.pwin_corr_buckets`).
+
+    Returns (r (B, G2, G) int32 row into the front/back-zero-padded 4C
+    window table, pick (B, G2, 2, G, 3) int8 in {0..3, 4=zero}). The
+    gather emits ceil(V/2)*2 rows; the caller slices back to V."""
+    B, V, K = nbr.shape
+    G = K // 3
+    V2 = -(-V // 2) * 2
+    if V2 != V:
+        nbr = jnp.pad(nbr, ((0, 0), (0, V2 - V), (0, 0)),
+                      constant_values=pad)
+    l = nbr.reshape(B, V2 // 2, 2, G, 3)
+    present = l < pad
+    lm = jnp.where(present, l, jnp.iinfo(jnp.int32).max)
+    j = lm.min(axis=(2, 4))                                # (B, G2, G)
+    any_p = present.any(axis=(2, 4))
+    r = jnp.where(any_p, j + 1, pad + 1).astype(jnp.int32)
+    off = l - j[:, :, None, :, None]
+    pick = jnp.where(present & (off <= 3), off, 4).astype(jnp.int8)
+    return r, pick
+
+
+def gather_taps_pwin(feats, plan):
+    """Pair-window gather using a `pwin_plan`: one 4C row per (site pair,
+    tap group). The extraction follows `gather_taps_xwin`'s measured-good
+    pattern (contiguous channel slices + unrolled where-adds — NOT the
+    broadcast-select form whose layout copies sank the quad variant).
+    Equal to the plain 27-row gather wherever `pick < 4`; overflow taps
+    read zero and are restored by the correction list."""
+    r, pick = plan
+    B, Vin, C = feats.shape
+    G2, G = r.shape[1], r.shape[2]
+    zero1 = jnp.zeros((B, 1, C), feats.dtype)
+    zero4 = jnp.zeros((B, 4, C), feats.dtype)
+    P = jnp.concatenate([zero1, feats, zero4], axis=1)     # (B, Vin+5, C)
+    # x4[r] = [feats[r-1], ..., feats[r+2]]; row Vin+1 is all-zero
+    x4 = jnp.concatenate([P[:, k:k + Vin + 2] for k in range(4)], axis=-1)
+    boff = (jnp.arange(B, dtype=r.dtype) * (Vin + 2))[:, None, None]
+    g = x4.reshape(B * (Vin + 2), 4 * C)[(r + boff).reshape(-1)]
+    g = g.reshape(B, G2, G, 4 * C)
+    w = tuple(g[..., o * C:(o + 1) * C] for o in range(4))
+    sites = []
+    for s in range(2):
+        taps = []
+        for t in range(3):
+            pt = pick[:, :, s, :, t]                       # (B, G2, G)
+            acc = jnp.where((pt == 0)[..., None], w[0], 0.0) \
+                + jnp.where((pt == 1)[..., None], w[1], 0.0) \
+                + jnp.where((pt == 2)[..., None], w[2], 0.0) \
+                + jnp.where((pt == 3)[..., None], w[3], 0.0)
+            taps.append(acc)
+        sites.append(jnp.stack(taps, axis=3))              # (B, G2, G, 3, C)
+    out = jnp.stack(sites, axis=2)                         # (B, G2, 2, G, 3, C)
+    return out.reshape(B, G2 * 2, G * 3 * C)
+
+
 def qwin_corrections(x, feats, kernel, corr, dtype):
     """Re-add the overflow taps dropped by the quad-window gather: one
     narrow row gather + 27 tap-masked (E, C) @ (C, Cout) matmuls + one
@@ -248,8 +313,11 @@ class SparseConvBNReLU(nn.Module):
                  corr=None):
         if self.table_dtype is not None:
             feats = feats.astype(self.table_dtype)
-        if isinstance(nbr, tuple) and nbr[1].ndim == 5:   # qwin_plan
-            x = gather_taps_qwin(feats, nbr)[:, :out_mask.shape[1]]
+        if isinstance(nbr, tuple) and nbr[1].ndim == 5:
+            if nbr[1].shape[2] == 2:                      # pwin_plan
+                x = gather_taps_pwin(feats, nbr)[:, :out_mask.shape[1]]
+            else:                                         # qwin_plan
+                x = gather_taps_qwin(feats, nbr)[:, :out_mask.shape[1]]
         elif isinstance(nbr, tuple):                      # xwin_plan
             x = gather_taps_xwin(feats, nbr)
         else:
@@ -322,25 +390,31 @@ class SparseVoxelBackBone8x(nn.Module):
         filters = cfg.get('NUM_FILTERS', [16, 32, 64, 64])
         out_ch = cfg.get('OUT_FEATURES', 128)
         residual = cfg.get('RESIDUAL', self.residual)
-        # window-fetch gathers (both exact):
+        # window-fetch gathers (all exact):
         #   XWIN — 9 rows of 3C per site (3x fewer gathered rows);
         #   QWIN — 9 rows of 6C per 4-site group (2x fewer gathered bytes
-        #   than xwin) + host-built overflow-correction lists
-        #   (`ops/sparse_maps.qwin_corr_buckets`; requires the *_qcin/_qcout/
-        #   _qctap batch keys from host_prepare). QWIN wins where present.
+        #   than xwin; measured LOSES to xwin, kept for the record);
+        #   PWIN — 9 rows of 4C per 2-site pair (2x fewer gathered rows
+        #   than xwin at xwin-style extraction cost).
+        # QWIN/PWIN need the host-built overflow-correction lists
+        # (`ops/sparse_maps.{qwin,pwin}_corr_buckets`; the *_qcin/_qcout/
+        # _qctap batch keys from host_prepare).
         xwin = cfg.get('XWIN', False)
         qwin = cfg.get('QWIN', False) and 'sp_submap1_qcin' in batch
-        barrier = cfg.get('LAYER_BARRIER', xwin or qwin)
+        pwin = (not qwin and cfg.get('PWIN', False)
+                and 'sp_submap1_qcin' in batch)
+        barrier = cfg.get('LAYER_BARRIER', xwin or qwin or pwin)
         tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
             str(cfg.get('TABLE_DTYPE', '')).lower())
         feats = batch['voxel_features']                  # (B, cap1, Cin)
         ms = {}
 
         def make_plan(key, nbr, cap_in):
-            if qwin:
+            if qwin or pwin:
                 corr = (batch[f'{key}_qcin'], batch[f'{key}_qcout'],
                         batch[f'{key}_qctap'])
-                return qwin_plan(nbr, cap_in), corr
+                plan_fn = qwin_plan if qwin else pwin_plan
+                return plan_fn(nbr, cap_in), corr
             if xwin:
                 return xwin_plan(nbr, cap_in), None
             return nbr, None

@@ -204,12 +204,13 @@ def build_backbone8x_maps(coords, n_valid, grid_size_whd, caps):
 
 
 def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
-                           qwin_corr_cap=None):
+                           qwin_corr_cap=None, pwin_corr_cap=None):
     """Stack `build_backbone8x_maps` over the batch dim.
     voxel_coords: (B, V, 3) zyx; voxel_mask: (B, V) bool.
-    `qwin_corr_cap`: per-tap correction-bucket capacity (int or
-    {map_name: int}) — adds the quad-window correction keys (see
-    `qwin_corr_buckets`) needed when BACKBONE_3D.QWIN is on."""
+    `qwin_corr_cap` / `pwin_corr_cap`: per-tap correction-bucket capacity
+    (int or {map_name: int}) — adds the packed-window correction keys (see
+    `qwin_corr_buckets`) needed when BACKBONE_3D.QWIN / PWIN is on (the
+    two share the batch-key naming; at most one applies per model)."""
     per = [build_backbone8x_maps(np.asarray(voxel_coords[b]),
                                  int(np.sum(voxel_mask[b])),
                                  grid_size_whd, caps)
@@ -217,6 +218,8 @@ def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
     out = {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
     if qwin_corr_cap is not None:
         out.update(batch_qwin_corrections(out, caps, qwin_corr_cap))
+    elif pwin_corr_cap is not None:
+        out.update(batch_pwin_corrections(out, caps, pwin_corr_cap))
     return out
 
 
@@ -288,38 +291,49 @@ def qwin_keys(names=QWIN_MAP_NAMES):
     return sum([[f'{n}_qcin', f'{n}_qcout', f'{n}_qctap'] for n in names], [])
 
 
-def qwin_overflow_entries(nbr, cap_in):
-    """Overflow triples of one sample's 27-tap map under the quad-window
-    plan. nbr: (cap_out, 27) with cap_in = absent. Returns (out_slot (E,),
-    tap (E,), in_slot (E,)) — must mirror `sparse_backbone.qwin_plan`'s
-    j = min-present choice exactly."""
+def win_overflow_entries(nbr, cap_in, group, maxoff):
+    """Overflow triples of one sample's 27-tap map under a packed-window
+    plan (`group` consecutive output slots per window, taps with slot
+    offset > `maxoff` overflow). nbr: (cap_out, 27) with cap_in = absent.
+    Returns (out_slot (E,), tap (E,), in_slot (E,)) — must mirror the
+    device plan's j = min-present choice exactly (qwin: group 4 / maxoff 5;
+    pwin: group 2 / maxoff 3)."""
     cap_out, K = nbr.shape
     assert K == 27
-    V4 = -(-cap_out // 4) * 4
-    l = np.full((V4, 27), cap_in, nbr.dtype)
+    Vg = -(-cap_out // group) * group
+    l = np.full((Vg, 27), cap_in, nbr.dtype)
     l[:cap_out] = nbr
-    l = l.reshape(V4 // 4, 4, 9, 3)
+    l = l.reshape(Vg // group, group, 9, 3)
     present = l < cap_in
     lm = np.where(present, l.astype(np.int64), np.iinfo(np.int64).max)
-    j = lm.min(axis=(1, 3))                       # (G4, 9)
+    j = lm.min(axis=(1, 3))                       # (Gg, 9)
     off = l - j[:, None, :, None]
-    ovf = present & (off > 5)
-    g4, site, grp, t = np.nonzero(ovf)
-    out_slot = (g4 * 4 + site).astype(np.int32)
+    ovf = present & (off > maxoff)
+    gg, site, grp, t = np.nonzero(ovf)
+    out_slot = (gg * group + site).astype(np.int32)
     tap = (grp * 3 + t).astype(np.int32)
-    in_slot = l[g4, site, grp, t].astype(np.int32)
+    in_slot = l[gg, site, grp, t].astype(np.int32)
     keep = out_slot < cap_out
     return out_slot[keep], tap[keep], in_slot[keep]
 
 
-def qwin_corr_buckets(nbr, cap_in, capc):
+def qwin_overflow_entries(nbr, cap_in):
+    return win_overflow_entries(nbr, cap_in, group=4, maxoff=5)
+
+
+def pwin_overflow_entries(nbr, cap_in):
+    return win_overflow_entries(nbr, cap_in, group=2, maxoff=3)
+
+
+def qwin_corr_buckets(nbr, cap_in, capc, group=4, maxoff=5):
     """Flat fixed-capacity correction list for one map: returns (qcin
     (capc,) input slots, qcout (capc,) output slots, qctap (capc,) tap ids).
     Pad entries read the zero row (in = cap_in) and land on row 0 with an
     exactly-zero contribution. Entries beyond `capc` are dropped with the
     repo-wide cap-saturation convention (count available via
-    `qwin_overflow_entries`)."""
-    out_slot, tap, in_slot = qwin_overflow_entries(nbr, cap_in)
+    `win_overflow_entries`). group/maxoff select the window variant
+    (defaults: quad; pwin passes 2/3)."""
+    out_slot, tap, in_slot = win_overflow_entries(nbr, cap_in, group, maxoff)
     n = min(len(out_slot), capc)
     qcin = np.full((capc,), cap_in, np.int32)
     qcout = np.zeros((capc,), np.int32)
@@ -330,11 +344,12 @@ def qwin_corr_buckets(nbr, cap_in, capc):
     return qcin, qcout, qctap
 
 
-def batch_qwin_corrections(maps, caps, capc=None):
-    """Correction lists for every quad-window map of a batched ladder
+def batch_qwin_corrections(maps, caps, capc=None, group=4, maxoff=5):
+    """Correction lists for every packed-window map of a batched ladder
     build. `maps`: the batched LADDER_KEYS dict; `capc`: int, per-map dict,
     or None (QWIN_CORR_CAP_DEFAULT). Returns
-    {f'{name}_qcin'/'_qcout'/'_qctap': (B, capc)}."""
+    {f'{name}_qcin'/'_qcout'/'_qctap': (B, capc)}. group/maxoff select the
+    window variant (quad by default; `batch_pwin_corrections` for pairs)."""
     out = {}
     B = len(maps['sp_submap1'])
     for name in QWIN_MAP_NAMES:
@@ -345,12 +360,19 @@ def batch_qwin_corrections(maps, caps, capc=None):
             cc = int(capc[name])
         else:
             cc = int(capc)
-        per = [qwin_corr_buckets(np.asarray(maps[name][b]), cap_in, cc)
+        per = [qwin_corr_buckets(np.asarray(maps[name][b]), cap_in, cc,
+                                 group, maxoff)
                for b in range(B)]
         out[f'{name}_qcin'] = np.stack([p[0] for p in per])
         out[f'{name}_qcout'] = np.stack([p[1] for p in per])
         out[f'{name}_qctap'] = np.stack([p[2] for p in per])
     return out
+
+
+def batch_pwin_corrections(maps, caps, capc=None):
+    """Pair-window (group 2 / maxoff 3) correction lists; same batch-key
+    naming as the quad variant (the device correction path is shared)."""
+    return batch_qwin_corrections(maps, caps, capc, group=2, maxoff=3)
 
 
 def default_caps(max_voxels):

@@ -337,11 +337,22 @@ def test_native_builder_matches_numpy(rng):
                                       np.asarray(nat[k], np.int64), err_msg=k)
 
 
-def test_qwin_gather_matches_plain(rng):
-    """Quad-window gather: wherever pick < 6 the result equals the plain
-    gather; overflow taps read zero (restored later by corrections)."""
-    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
-        gather_taps, gather_taps_qwin, qwin_plan)
+def _win_variant(name):
+    """(plan_fn, gather_fn, group, maxoff, zero_code) per packed-window
+    variant."""
+    from pdm_ssd_tpu.models.backbones_3d import sparse_backbone as sb
+    return {
+        'qwin': (sb.qwin_plan, sb.gather_taps_qwin, 4, 5, 6),
+        'pwin': (sb.pwin_plan, sb.gather_taps_pwin, 2, 3, 4),
+    }[name]
+
+
+@pytest.mark.parametrize('variant', ['qwin', 'pwin'])
+def test_packed_win_gather_matches_plain(rng, variant):
+    """Packed-window gather (quad or pair): wherever pick < zero_code the
+    result equals the plain gather; overflow taps read zero (restored
+    later by corrections)."""
+    plan_fn, gather_fn, _, _, zero_code = _win_variant(variant)
     dims = (6, 12, 16)
     c = random_actives(rng, dims, 150)
     cap = 192
@@ -356,29 +367,32 @@ def test_qwin_gather_matches_plain(rng):
         feats[:, 150:] = 0
         nbr_b = np.tile(nbr[None], (2, 1, 1))
         a = np.asarray(gather_taps(jnp.asarray(feats), jnp.asarray(nbr_b)))
-        plan = qwin_plan(jnp.asarray(nbr_b), cap)
+        plan = plan_fn(jnp.asarray(nbr_b), cap)
         B, Vo = nbr_b.shape[:2]
-        b = np.asarray(gather_taps_qwin(jnp.asarray(feats), plan))[:, :Vo]
+        b = np.asarray(gather_fn(jnp.asarray(feats), plan))[:, :Vo]
         # overflow positions: zero in b, plain value in a
         r, pick = plan
-        pk = np.asarray(pick).transpose(0, 1, 2, 3, 4)      # (B,G4,4,9,3)
+        pk = np.asarray(pick)            # (B,Gg,group,9,3)
         pk = pk.reshape(B, -1, 27)[:, :Vo]
         C = 8
         af = a.reshape(B, Vo, 27, C)
         bf = b.reshape(B, Vo, 27, C)
-        ovf = pk == 6
+        ovf = pk == zero_code
         np.testing.assert_array_equal(bf[ovf], np.zeros_like(bf[ovf]))
         np.testing.assert_array_equal(bf[~ovf], af[~ovf])
 
 
+@pytest.mark.parametrize('variant', ['qwin', 'pwin'])
 @pytest.mark.parametrize('density', ['dense', 'sparse'])
-def test_qwin_layer_with_corrections_matches_plain(rng, density):
-    """Full layer equality: qwin gather + correction list == plain gather,
-    through the conv matmul, on subm and strided maps. The 'sparse' case
-    (few actives in a large grid) forces heavy window overflow, exercising
-    the correction path hard."""
+def test_packed_win_layer_with_corrections_matches_plain(rng, density,
+                                                         variant):
+    """Full layer equality: packed-window gather + correction list == plain
+    gather, through the conv matmul, on subm and strided maps. The 'sparse'
+    case (few actives in a large grid) forces heavy window overflow,
+    exercising the correction path hard."""
     from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import (
-        SparseConvBNReLU, qwin_plan)
+        SparseConvBNReLU)
+    plan_fn, _, group, maxoff, _ = _win_variant(variant)
     if density == 'dense':
         dims, n, cap = (6, 12, 16), 150, 192
         c = random_actives(rng, dims, n)
@@ -407,11 +421,12 @@ def test_qwin_layer_with_corrections_matches_plain(rng, density):
         mask = np.zeros((2, cap_out), bool)
         mask[:, :n_valid_out] = True
         # overflow stats: ensure the sparse case actually overflows
-        o, t, i = sm.qwin_overflow_entries(nbr, cap_in)
-        if density == 'sparse':
+        o, t, i = sm.win_overflow_entries(nbr, cap_in, group, maxoff)
+        if density == 'sparse' and variant == 'qwin':
             assert len(o) > 0
         capc = max(8, len(o) + 4)
-        qcin, qcout, qctap = sm.qwin_corr_buckets(nbr, cap_in, capc)
+        qcin, qcout, qctap = sm.qwin_corr_buckets(nbr, cap_in, capc,
+                                                  group, maxoff)
         corr = tuple(jnp.asarray(np.tile(v[None], (2, 1)))
                      for v in (qcin, qcout, qctap))
         layer = SparseConvBNReLU(10, use_bn=False, use_relu=False)
@@ -419,7 +434,7 @@ def test_qwin_layer_with_corrections_matches_plain(rng, density):
                          jnp.asarray(nbr_b), jnp.asarray(mask))
         ref = layer.apply(var, jnp.asarray(feats), jnp.asarray(nbr_b),
                           jnp.asarray(mask))
-        plan = qwin_plan(jnp.asarray(nbr_b), cap_in)
+        plan = plan_fn(jnp.asarray(nbr_b), cap_in)
         got = layer.apply(var, jnp.asarray(feats), plan, jnp.asarray(mask),
                           False, corr)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -445,10 +460,12 @@ def test_qwin_corr_saturation_drops_exactly_tail(rng):
     assert (qcin[:2] == i[:2]).all() and (qcout[:2] == o[:2]).all()
 
 
-def test_qwin_full_backbone_matches_plain(rng):
-    """SECOND assembly with QWIN on vs off, same params: the quad-window
-    gather + host correction lists must reproduce the plain path through
-    the whole ladder (covers host_prepare's *_qcin/_qcout/_qctap keys)."""
+@pytest.mark.parametrize('variant', ['qwin', 'pwin'])
+def test_packed_win_full_backbone_matches_plain(rng, variant):
+    """SECOND assembly with QWIN/PWIN on vs off, same params: the packed-
+    window gather + host correction lists must reproduce the plain path
+    through the whole ladder (covers host_prepare's *_qcin/_qcout/_qctap
+    keys)."""
     import jax
     import jax.numpy as jnp
     from pdm_ssd_tpu.models import build_network, get_host_prepare
@@ -460,9 +477,10 @@ def test_qwin_full_backbone_matches_plain(rng):
                 for k, v in _fine_voxel_batch(rng).items()}
 
     from pdm_ssd_tpu.utils.config import CfgNode
+    flags = ({'QWIN': True, 'QWIN_CORR_CAP': 256} if variant == 'qwin'
+             else {'PWIN': True, 'PWIN_CORR_CAP': 256})
     cfg_q = CfgNode({**cfg, 'BACKBONE_3D': dict(cfg['BACKBONE_3D'],
-                                                QWIN=True,
-                                                QWIN_CORR_CAP=256)})
+                                                **flags)})
     model = build_network(cfg, num_class=3, dataset_cfg=ds,
                           class_names=['Car', 'Pedestrian', 'Cyclist'])
     model_q = build_network(cfg_q, num_class=3, dataset_cfg=ds,

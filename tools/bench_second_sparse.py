@@ -43,6 +43,8 @@ def main():
     ap.add_argument('--xwin', action='store_true')
     ap.add_argument('--qwin', action='store_true',
                     help='quad-window gather (6C rows per 4-site group)')
+    ap.add_argument('--pwin', action='store_true',
+                    help='pair-window gather (4C rows per 2-site pair)')
     ap.add_argument('--barrier', type=int, default=-1,
                     help='-1: default (= xwin/qwin), 0/1: force off/on')
     ap.add_argument('--no_bwd', action='store_true')
@@ -65,15 +67,16 @@ def main():
     if args.xwin:
         cfg.MODEL.BACKBONE_3D.XWIN = True
     cfg.MODEL.BACKBONE_3D.QWIN = bool(args.qwin)
-    if args.qwin:
+    cfg.MODEL.BACKBONE_3D.PWIN = bool(args.pwin)
+    if args.qwin or args.pwin:
         cfg.MODEL.BACKBONE_3D.XWIN = False
     if args.barrier >= 0:
         cfg.MODEL.BACKBONE_3D.LAYER_BARRIER = bool(args.barrier)
     if args.bf16:
         cfg.MODEL.BACKBONE_3D.TABLE_DTYPE = 'bf16'
     print(f'xwin={cfg.MODEL.BACKBONE_3D.get("XWIN", False)} '
-          f'qwin={args.qwin} barrier={args.barrier} bf16={args.bf16}',
-          flush=True)
+          f'qwin={args.qwin} pwin={args.pwin} barrier={args.barrier} '
+          f'bf16={args.bf16}', flush=True)
     model = build_network(cfg.MODEL, num_class=3, dataset_cfg=cfg.DATA_CONFIG,
                          class_names=cfg.CLASS_NAMES)
     proc = DataProcessor(cfg.DATA_CONFIG.DATA_PROCESSOR,
