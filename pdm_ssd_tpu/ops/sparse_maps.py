@@ -211,11 +211,20 @@ def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
     (int or {map_name: int}) — adds the packed-window correction keys (see
     `qwin_corr_buckets`) needed when BACKBONE_3D.QWIN / PWIN is on (the
     two share the batch-key naming; at most one applies per model)."""
-    per = [build_backbone8x_maps(np.asarray(voxel_coords[b]),
-                                 int(np.sum(voxel_mask[b])),
-                                 grid_size_whd, caps)
-           for b in range(len(voxel_coords))]
-    out = {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
+    out = None
+    try:
+        from ..csrc import batch_build_ladder_maps as native_batch
+        out = native_batch(np.asarray(voxel_coords), np.asarray(voxel_mask),
+                           np.asarray(ladder_shapes(grid_size_whd)[0],
+                                      np.int32), caps)
+    except Exception:
+        out = None
+    if out is None:
+        per = [build_backbone8x_maps(np.asarray(voxel_coords[b]),
+                                     int(np.sum(voxel_mask[b])),
+                                     grid_size_whd, caps)
+               for b in range(len(voxel_coords))]
+        out = {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
     if qwin_corr_cap is not None:
         out.update(batch_qwin_corrections(out, caps, qwin_corr_cap))
     elif pwin_corr_cap is not None:

@@ -50,9 +50,8 @@ def eval_one_epoch(model, params, batch_stats, dataloader, dataset, class_names,
     n_frames = 0
 
     pad_b = None
-    for i, batch in enumerate(dataloader):
-        if host_prepare is not None:
-            batch = host_prepare(batch)
+    from .prefetch import prefetch_batches
+    for i, batch in enumerate(prefetch_batches(dataloader, host_prepare)):
         real_b = batch['batch_size']
         if mesh is None:
             # full mesh + batch padding: every chip stays busy, and the final

@@ -116,9 +116,9 @@ def train_model(model, state, tx, train_loader, total_epochs, rank0_logger=None,
             apply_epoch_hooks(hook_cfg, dataset, epoch, total_epochs,
                               logger=rank0_logger)
         t0 = time.time()
-        for it, batch in enumerate(train_loader):
-            if host_prepare is not None:
-                batch = host_prepare(batch)
+        from .prefetch import prefetch_batches
+        for it, batch in enumerate(prefetch_batches(train_loader,
+                                                    host_prepare)):
             device_batch = shard_batch(_filter_device_batch(batch), mesh)
             state, metrics = train_step(state, device_batch)
             accumulated_iter += 1

@@ -337,6 +337,46 @@ def test_native_builder_matches_numpy(rng):
                                       np.asarray(nat[k], np.int64), err_msg=k)
 
 
+def test_native_builder_clustered_truncating(rng):
+    """Native vs numpy on a clustered cloud with grid-boundary hugging and
+    caps tight enough to truncate stages 2-4 — stresses the merge-scan tap
+    fill (early key exhaustion, border wrap guards) and the bitmap site
+    scan's cap cutoff."""
+    from pdm_ssd_tpu import csrc
+    if csrc.lib() is None:
+        pytest.skip('no native toolchain')
+    dims_grid = (64, 48, 15)     # (W, H, D)
+    D, H, W = 16, 48, 64
+    pts = []
+    for _ in range(12):          # tight clusters -> dense x runs
+        cz, cy, cx = rng.randint(0, D), rng.randint(0, H), rng.randint(0, W)
+        n = 120
+        pts.append(np.stack([
+            np.clip(cz + rng.randint(-2, 3, n), 0, D - 1),
+            np.clip(cy + rng.randint(-4, 5, n), 0, H - 1),
+            np.clip(cx + rng.randint(-6, 7, n), 0, W - 1)], -1))
+    # explicit grid corners (border wrap guards)
+    pts.append(np.array([[0, 0, 0], [D - 1, H - 1, W - 1], [0, H - 1, 0],
+                         [D - 1, 0, W - 1]]))
+    coords = np.concatenate(pts).astype(np.int32)
+    flat = (coords[:, 0] * H + coords[:, 1]) * W + coords[:, 2]
+    _, first = np.unique(flat, return_index=True)
+    coords = coords[np.sort(first)]
+    n = len(coords)
+    caps = [n, n // 2, n // 2, n // 3, n // 3]   # forces truncation
+    import pdm_ssd_tpu.csrc as c2
+    orig = c2.build_ladder_maps
+    try:
+        c2.build_ladder_maps = lambda *a, **k: None
+        ref = sm.build_backbone8x_maps(coords, n, dims_grid, caps)
+    finally:
+        c2.build_ladder_maps = orig
+    nat = sm.build_backbone8x_maps(coords, n, dims_grid, caps)
+    for k in sm.LADDER_KEYS:
+        np.testing.assert_array_equal(np.asarray(ref[k], np.int64),
+                                      np.asarray(nat[k], np.int64), err_msg=k)
+
+
 def _win_variant(name):
     """(plan_fn, gather_fn, group, maxoff, zero_code) per packed-window
     variant."""
