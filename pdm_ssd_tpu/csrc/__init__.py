@@ -148,9 +148,9 @@ def build_ladder_maps(coords, n_in, dims0, caps, out=None):
     `out`: optional preallocated dict of contiguous per-sample arrays
     (shapes/dtypes per `ladder_shapes_per_key`, masks uint8) written in
     place — the batch builder passes views into (B, ...) np.empty arrays,
-    avoiding the ~35 MB of fresh page faults a per-call np.zeros costs
-    (~40 ms/sample at the 0.05 m caps). The C side overwrites every
-    element, so np.empty backing is safe."""
+    avoiding the ~35 MB of fresh page faults a per-call allocation costs
+    (~90 ms/sample measured at the 0.05 m caps). The C side overwrites
+    every element, so np.empty backing is safe."""
     L = lib()
     if L is None or not hasattr(L, 'build_ladder_maps'):
         return None

@@ -163,7 +163,7 @@ int voxelize(const float *points, int n, int nf, const float *voxel_size,
 // ---------------------------------------------------------------------------
 // Sparse-ladder kernel-map builder (host side of
 // pdm_ssd_tpu/ops/sparse_maps.py — see that file for the semantics; this is
-// the O(V*27) sorted-merge fast path, ~300x the numpy searchsorted builder:
+// the O(V*27) sorted-merge fast path, ~40x the numpy searchsorted builder (70 ms/sample vs 2.8 s at the 0.05 m caps):
 // every tap of the 27-tap maps is one sequential two-pointer pass over the
 // sorted flat keys — no random probes).
 // ---------------------------------------------------------------------------

@@ -4,7 +4,7 @@ The sparse-family models need per-batch host work before device transfer
 (kernel-map building, `ops/sparse_maps.batch_build_backbone8x` — the analog
 of the spconv rulebook build that the reference hides inside its CUDA model,
 `pcdet/models/backbones_3d/spconv_backbone.py`). Running it inline in the
-step loop serializes ~80 ms/sample of host work with the device step; this
+step loop serializes ~70 ms/sample of host work with the device step; this
 module runs it on a worker thread instead, which genuinely overlaps even on
 a single-core host: the builder's hot loop is a ctypes call (GIL released)
 and the main thread mostly sleeps in device dispatch/result waits.
