@@ -26,10 +26,22 @@ from ...utils.config import as_cfg
 class SAModuleMSG(nn.Module):
     """Set-abstraction with multi-scale grouping (`pointnet2_modules.py:58-99`).
 
-    `sample_method`: 'fps' (Pallas kernel on TPU) or 'random' — the pipeline
-    shuffles points (`shuffle_points` processor), so taking the first `npoint`
-    slots IS a uniform random subsample; it removes the sequential FPS cost at
-    high-resolution levels (3DSSD-style trade-off).
+    `sample_method`: 'fps' (Pallas kernel on TPU), 'random', or 'prefix' —
+    'random': the pipeline shuffles points (`shuffle_points` processor), so
+    taking the first `npoint` slots IS a uniform random subsample; it removes
+    the sequential FPS cost at high-resolution levels (3DSSD-style trade-off).
+    'prefix': EXACT FPS for inputs already in farthest-first (FPS pick) order.
+    A farthest-first traversal has the prefix property: if S is the FPS output
+    of a parent cloud (in pick order, same seed-at-0 / first-argmax rules as
+    `ops/pointnet2.farthest_point_sample`), then FPS(S, k) == arange(k) —
+    each pick S[i] attains the max over the parent superset, hence over S, and
+    any exact tie S[j] was picked later (j > i) so first-argmax still selects
+    S[i]. Duplicate-padded clouds (fewer distinct points than the parent
+    npoint) stay value-exact: the parent's degenerate tail picks index 0
+    forever, so S[i>=D] == S[0], which is also what true FPS(S) selects once
+    all distances hit zero. Used automatically by `PointNet2MSG` for SA levels
+    whose input is the previous level's FPS output (reference recomputes FPS
+    each level, `pointnet2_modules.py:58-99` — same indices, zero serial cost).
     `pc_range`: (xmin, ymin, xmax, ymax) enables the bucketed grid ball query
     on TPU (`ops/neighbor_grid.py`).
     """
@@ -45,7 +57,7 @@ class SAModuleMSG(nn.Module):
     def __call__(self, xyz, features, training: bool = False):
         """xyz: (B, N, 3); features: (B, N, C) or None.
         Returns new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlps[-1]))."""
-        if self.sample_method == 'random':
+        if self.sample_method in ('random', 'prefix'):
             new_xyz = xyz[:, :self.npoint]
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
@@ -155,7 +167,7 @@ class SAModuleMSGFused(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, training: bool = False):
-        if self.sample_method == 'random':
+        if self.sample_method in ('random', 'prefix'):
             new_xyz = xyz[:, :self.npoint]
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
@@ -216,15 +228,24 @@ class PointNet2MSG(nn.Module):
             r = list(self.pc_range)
             bev_range = (r[0], r[1], r[3], r[4])
         fused = bool(sa_cfg.get('FUSED', False)) and bev_range is not None
+        # FPS prefix elision: an SA level whose input is the previous level's
+        # FPS output (in pick order) gets identical samples from arange(npoint)
+        # — see SAModuleMSG docstring for the exactness argument. Saves the
+        # full serial FPS chain at every level after the first.
+        prefix_ok = bool(sa_cfg.get('FPS_PREFIX', True))
+        fps_ordered = False
         l_xyz, l_features = [xyz], [features]
         for k in range(len(sa_cfg.NPOINTS)):
+            method = methods[k]
+            if method == 'fps' and fps_ordered and prefix_ok:
+                method = 'prefix'
             mlps = [list(m) for m in sa_cfg.MLPS[k]]
             if fused:
                 sa = SAModuleMSGFused(
                     npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
                     nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
                     use_xyz=sa_cfg.get('USE_XYZ', True),
-                    sample_method=methods[k], pc_range=bev_range,
+                    sample_method=method, pc_range=bev_range,
                     bucket_cap=int(sa_cfg.get('BUCKET_CAP', 32)),
                     name=f'sa_{k}')
             else:
@@ -232,8 +253,12 @@ class PointNet2MSG(nn.Module):
                     npoint=sa_cfg.NPOINTS[k], radii=sa_cfg.RADIUS[k],
                     nsamples=sa_cfg.NSAMPLE[k], mlps=mlps,
                     use_xyz=sa_cfg.get('USE_XYZ', True),
-                    sample_method=methods[k], pc_range=bev_range, name=f'sa_{k}')
+                    sample_method=method, pc_range=bev_range, name=f'sa_{k}')
             li_xyz, li_features = sa(l_xyz[k], l_features[k], training=training)
+            # 'fps' outputs pick order; 'prefix'/'random' preserve an already
+            # FPS-ordered input (a prefix of a farthest-first order is one).
+            fps_ordered = (method == 'fps') or \
+                (fps_ordered and method in ('prefix', 'random'))
             l_xyz.append(li_xyz)
             l_features.append(li_features)
 

@@ -151,9 +151,12 @@ def three_nn(unknown: jax.Array, known: jax.Array,
              known_mask: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """3 nearest known neighbors for each unknown point.
 
-    Returns (dist2, idx): squared distances (B, N, 3) and indices (B, N, 3),
-    matching the reference which returns squared distances
-    (`interpolate_gpu.cu:16-58`, best1/2/3 are squared).
+    Returns (dist2, idx): SQUARED distances (B, N, 3) and indices (B, N, 3),
+    matching the reference CUDA kernel (`interpolate_gpu.cu:16-58`, best1/2/3
+    are squared). NOTE: the reference's Python wrapper then returns
+    sqrt(dist2) (`pointnet2_utils.py:99` `return torch.sqrt(dist2), idx`) —
+    consumers that mirror the FP module's inverse-distance weights must use
+    `three_interpolate_weights` (which takes sqrt internally), not 1/d2.
     """
     d2 = jnp.sum((unknown[:, :, None, :] - known[:, None, :, :]) ** 2, axis=-1)  # (B,N,M)
     if known_mask is not None:
@@ -170,9 +173,14 @@ def three_interpolate(features: jax.Array, idx: jax.Array, weight: jax.Array) ->
 
 
 def three_interpolate_weights(dist2: jax.Array) -> jax.Array:
-    """Inverse-distance weights exactly as the FP module computes them
-    (`pointnet2_modules.py:152-156`): w = (1/(d2+1e-8)) / sum."""
-    dist_recip = 1.0 / (dist2 + 1e-8)
+    """Inverse-distance weights exactly as the FP module computes them:
+    the reference's ThreeNN wrapper returns L2 (NOT squared) distances
+    (`pointnet2_utils.py:99`), and the FP module weights are
+    w = (1/(dist+1e-8)) / sum (`pointnet2_modules.py:152-156`). Takes the
+    kernel-level squared distances and applies the sqrt here. (Round-3 fix —
+    caught by the torch-oracle backbone parity test; the previous revision
+    weighted by 1/d2, a documented-wrong reading of the reference.)"""
+    dist_recip = 1.0 / (jnp.sqrt(dist2) + 1e-8)
     norm = jnp.sum(dist_recip, axis=-1, keepdims=True)
     return dist_recip / norm
 
