@@ -4,8 +4,10 @@ Re-design of `pcdet/models/backbones_3d/pfe/voxel_set_abstraction.py:11-411`
 for the dense TPU voxel pipeline:
 
 - keypoints: FPS of the raw cloud to NUM_KEYPOINTS (`get_sampled_points`,
-  reference :225-252; sector-FPS variant omitted — plain FPS is the shipped
-  PV-RCNN default).
+  reference :225-252); the sector-FPS variant (PV-RCNN++'s
+  `sectorized_proposal_centric_sampling`, reference :254-335) ships at
+  `ops/pointnet2.py` (`sector_fps`) and is wired below via
+  SAMPLE_METHOD == 'SPC'.
 - 'raw_points' source: fused multi-radius SA around the keypoints
   (`SA_rawpoints`, reference :160-166) via `SAGroupMLP`.
 - 'x_conv1..4' sources: the reference runs stacked SA with voxel-hash queries

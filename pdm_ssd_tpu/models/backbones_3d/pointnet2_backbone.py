@@ -30,6 +30,11 @@ class SAModuleMSG(nn.Module):
     'random': the pipeline shuffles points (`shuffle_points` processor), so
     taking the first `npoint` slots IS a uniform random subsample; it removes
     the sequential FPS cost at high-resolution levels (3DSSD-style trade-off).
+    NOTE: 'random' is uniform only when the level's input is shuffled — i.e.
+    at levels before any 'fps' level. After an 'fps' level the input is in
+    farthest-first pick order, so 'random' degenerates to a deterministic FPS
+    prefix (which is exactly the 'prefix' semantics, and arguably a better
+    subsample; configs that want true randomness mid-stack must re-shuffle).
     'prefix': EXACT FPS for inputs already in farthest-first (FPS pick) order.
     A farthest-first traversal has the prefix property: if S is the FPS output
     of a parent cloud (in pick order, same seed-at-0 / first-argmax rules as
@@ -237,8 +242,18 @@ class PointNet2MSG(nn.Module):
         l_xyz, l_features = [xyz], [features]
         for k in range(len(sa_cfg.NPOINTS)):
             method = methods[k]
-            if method == 'fps' and fps_ordered and prefix_ok:
+            # Elision and 'random' both take xyz[:, :npoint]; that is only a
+            # valid subsample when npoint fits the level's (static) input
+            # size — JAX slices silently clamp, whereas real FPS would emit
+            # npoint duplicated picks. Guard at trace time.
+            npoint_fits = sa_cfg.NPOINTS[k] <= l_xyz[k].shape[1]
+            if method == 'fps' and fps_ordered and prefix_ok and npoint_fits:
                 method = 'prefix'
+            if method == 'random' and not npoint_fits:
+                raise ValueError(
+                    f"SA level {k}: SAMPLE_METHOD 'random' with NPOINTS="
+                    f"{sa_cfg.NPOINTS[k]} > input size {l_xyz[k].shape[1]}; "
+                    f"use 'fps' (duplicating picks) or shrink NPOINTS.")
             mlps = [list(m) for m in sa_cfg.MLPS[k]]
             if fused:
                 sa = SAModuleMSGFused(

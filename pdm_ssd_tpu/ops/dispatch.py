@@ -29,7 +29,7 @@ def farthest_point_sample(xyz, npoint: int):
 
 def ball_query(radius: float, nsample: int, xyz, new_xyz, pc_range=None, cap: int = 48):
     if _on_tpu() and pc_range is not None:
-        from .pallas.grid_query import grid_ball_query_pallas
+        from .pallas.retired.grid_query import grid_ball_query_pallas
         return grid_ball_query_pallas(radius, nsample, xyz, new_xyz,
                                       pc_range=tuple(pc_range))
     return ref.ball_query(radius, nsample, xyz, new_xyz)

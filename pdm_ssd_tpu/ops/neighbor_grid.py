@@ -160,7 +160,7 @@ def grid_ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Ar
 
     # candidate + coordinate gathers via the one-hot matmul kernel (XLA's
     # serial gather costs ~75ns/element; see pallas/onehot_gather.py)
-    from .pallas.onehot_gather import gather_rows
+    from .pallas.retired.onehot_gather import gather_rows
     cand = gather_rows(table, ncell).reshape(B, M, 9 * cap)   # point idx, N = invalid
     xyz_pad = jnp.concatenate(
         [xyz, jnp.full((B, 1, 3), 1e9, xyz.dtype)], axis=1)

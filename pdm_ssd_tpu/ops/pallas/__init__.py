@@ -7,10 +7,13 @@ elsewhere.
 
 - `fps.farthest_point_sample_pallas`: the max-min iteration in one kernel,
   distance cache VMEM-resident (exact index parity with the reference).
-- `onehot_gather.gather_rows` / `scatter_add_rows`: gathers/scatters as fused
-  one-hot matmuls on the MXU with hi/lo split precision (exact).
-- `grid_query.grid_ball_query_pallas`: bucketed ball query via indexed DMA of
-  packed 128-lane cell rows (the production neighbor search).
-- `grid_query.grid_query_group_pallas`: fused query + feature grouping
-  (exact; perf optimization is the top round-2 kernel item).
+- `retired/` — kernels superseded on the production path but kept exact and
+  importable (they still back the non-fused dispatch path and carry measured
+  negative-result history):
+  - `retired.onehot_gather.gather_rows` / `scatter_add_rows`: gathers/scatters
+    as fused one-hot matmuls on the MXU with hi/lo split precision (exact;
+    superseded by plain XLA row gathers after the ~6 ns/row calibration).
+  - `retired.grid_query.grid_ball_query_pallas` /`grid_query_group_pallas`:
+    bucketed ball query (+fused grouping) via indexed DMA of packed 128-lane
+    cell rows (exact; superseded by `ops/sa_fused.py` on the production path).
 """

@@ -115,7 +115,7 @@ def grid_ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
     """Drop-in for `neighbor_grid.grid_ball_query` (any-K-in-ball semantics,
     first-hit backfill, 0 for empty). xyz: (B, N, 3), new_xyz: (B, M, 3)
     -> (B, M, K) int32."""
-    from ..neighbor_grid import build_bucket_table_packed
+    from ...neighbor_grid import build_bucket_table_packed
 
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -256,7 +256,7 @@ def grid_query_group_pallas(radius: float, nsample: int, xyz: jax.Array,
     if needed — the downstream max-pool treats zero rows harmlessly after the
     relative-offset subtraction is masked).
     """
-    from ..neighbor_grid import build_feature_table
+    from ...neighbor_grid import build_feature_table
 
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]

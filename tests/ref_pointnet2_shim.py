@@ -88,10 +88,30 @@ def three_interpolate_wrapper(B, C, M, N, features, idx, weight, output):
     return 1
 
 
+_ORIG_CUDA_TENSORS = {}
+
+
+def _host_alloc(dtype):
+    def alloc(*s):
+        # Emulate only where CUDA is genuinely absent (this image's torch is
+        # CPU-only, so the original constructors could never succeed). On a
+        # machine with real CUDA, fail loudly rather than silently handing
+        # CPU tensors to code that expected device allocations.
+        if torch.cuda.is_available():
+            raise RuntimeError(
+                'ref_pointnet2_shim: torch.cuda.*Tensor patched for CPU '
+                'emulation, but real CUDA is available — call uninstall() '
+                'or scope the shim away from CUDA-dependent tests.')
+        return torch.empty(*s, dtype=dtype)
+    return alloc
+
+
 def install():
     """Register the shim as the compiled extension module, and route the
     reference Functions' `torch.cuda.IntTensor/FloatTensor` output
-    allocations (`pointnet2_utils.py:25,55,93,...`) to host tensors."""
+    allocations (`pointnet2_utils.py:25,55,93,...`) to host tensors.
+    Reversible via `uninstall()`; the patched constructors refuse to run if
+    real CUDA is present (see `_host_alloc`)."""
     name = 'pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda'
     mod = types.ModuleType(name)
     for fn in (farthest_point_sampling_wrapper, gather_points_wrapper,
@@ -99,6 +119,16 @@ def install():
                three_interpolate_wrapper):
         setattr(mod, fn.__name__, fn)
     sys.modules[name] = mod
-    torch.cuda.IntTensor = lambda *s: torch.empty(*s, dtype=torch.int32)
-    torch.cuda.FloatTensor = lambda *s: torch.empty(*s, dtype=torch.float32)
+    if not _ORIG_CUDA_TENSORS:
+        _ORIG_CUDA_TENSORS['IntTensor'] = torch.cuda.IntTensor
+        _ORIG_CUDA_TENSORS['FloatTensor'] = torch.cuda.FloatTensor
+    torch.cuda.IntTensor = _host_alloc(torch.int32)
+    torch.cuda.FloatTensor = _host_alloc(torch.float32)
     return mod
+
+
+def uninstall():
+    """Restore the original `torch.cuda.*Tensor` constructors."""
+    if _ORIG_CUDA_TENSORS:
+        torch.cuda.IntTensor = _ORIG_CUDA_TENSORS.pop('IntTensor')
+        torch.cuda.FloatTensor = _ORIG_CUDA_TENSORS.pop('FloatTensor')

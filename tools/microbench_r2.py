@@ -112,7 +112,7 @@ def main():
 
     # ---- 5. existing kernels per level
     from pdm_ssd_tpu.ops.pallas.fps import farthest_point_sample_pallas
-    from pdm_ssd_tpu.ops.pallas.grid_query import grid_ball_query_pallas
+    from pdm_ssd_tpu.ops.pallas.retired.grid_query import grid_ball_query_pallas
     pts = jax.random.uniform(key, (B, N, 3), jnp.float32) * jnp.array([70.4, 80., 4.]) + jnp.array([0., -40., -3.])
     pc = (0.0, -40.0, 70.4, 40.0)
     lvls = [(N, 4096), (4096, 1024), (1024, 512)]
@@ -130,7 +130,7 @@ def main():
         print(f'grid_ball_query r={r} K={k} N={n_in} M={m}: {ms:.2f} ms')
 
     # ---- 6. onehot gather (current TPU grouping path) at level shapes
-    from pdm_ssd_tpu.ops.pallas.onehot_gather import gather_rows
+    from pdm_ssd_tpu.ops.pallas.retired.onehot_gather import gather_rows
     for (n_in, m, k, c) in [(N, 4096, 32, 1), (4096, 1024, 32, 96), (1024, 512, 32, 256)]:
         f = jax.random.normal(key, (B, n_in, c), jnp.float32)
         i = jax.random.randint(key, (B, m, k), 0, n_in, jnp.int32)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def main():
     from pdm_ssd_tpu.ops import pointnet2 as ref
     from pdm_ssd_tpu.ops.pallas.fps import farthest_point_sample_pallas
-    from pdm_ssd_tpu.ops.pallas.onehot_gather import gather_rows, scatter_add_rows
+    from pdm_ssd_tpu.ops.pallas.retired.onehot_gather import gather_rows, scatter_add_rows
     from pdm_ssd_tpu.ops.neighbor_grid import grid_ball_query
 
     rng = np.random.RandomState(0)
@@ -67,7 +67,7 @@ def main():
         print(f'FAIL grid_ball_query: within {frac}, counts {cnt_g.mean()} vs {cnt_e.mean()}')
 
     # --- pallas DMA grid ball query ---
-    from pdm_ssd_tpu.ops.pallas.grid_query import grid_ball_query_pallas
+    from pdm_ssd_tpu.ops.pallas.retired.grid_query import grid_ball_query_pallas
     idx = np.asarray(jax.device_get(grid_ball_query_pallas(
         0.8, 16, xyz, cen, pc_range=(0., -40., 70.4, 40.))))
     d = np.linalg.norm(pts[0][idx[0]] - np.asarray(cen)[0][:, None, :], axis=-1)
