@@ -92,9 +92,12 @@ def install():
     spconv.constants = types.SimpleNamespace(SPCONV_USE_DIRECT_TABLE=False)
     spconv_pytorch = stub('spconv.pytorch')
     spconv.pytorch = spconv_pytorch
-    for cls in ['SparseModule', 'SparseConv3d', 'SubMConv3d', 'SparseConvTensor',
-                'SparseSequential', 'SparseInverseConv3d', 'SparseMaxPool3d']:
-        setattr(spconv_pytorch, cls, type(cls, (), {}))
+    # don't clobber the functional dense-emulation shim (ref_spconv_shim)
+    if not getattr(spconv_pytorch, '_functional_shim', False):
+        for cls in ['SparseModule', 'SparseConv3d', 'SubMConv3d',
+                    'SparseConvTensor', 'SparseSequential',
+                    'SparseInverseConv3d', 'SparseMaxPool3d']:
+            setattr(spconv_pytorch, cls, type(cls, (), {}))
 
     numba = stub('numba')
     numba.jit = _passthrough_jit
