@@ -62,6 +62,12 @@ def lib():
             [i32p, ctypes.c_int, i32p, i32p, i32p, i32p, u8p, i32p]
             + [i32p, u8p, i32p, i32p] * 3 + [i32p, u8p, i32p])
         L.build_ladder_maps.restype = ctypes.c_int
+        if hasattr(L, 'build_ladder_maps_batch'):
+            L.build_ladder_maps_batch.argtypes = [
+                i32p, i32p, ctypes.c_int, ctypes.c_int, i32p, i32p,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_void_p)]
+            L.build_ladder_maps_batch.restype = ctypes.c_int
         _LIB = L
         return L
 
@@ -172,11 +178,35 @@ def build_ladder_maps(coords, n_in, dims0, caps, out=None):
 
 _LADDER_ARENAS = {}
 
+_UPMAP_SHAPES = lambda caps: {          # noqa: E731
+    'sp_upmap2': ((int(caps[0]), 27), np.int32),
+    'sp_upmap3': ((int(caps[1]), 27), np.int32),
+    'sp_upmap4': ((int(caps[2]), 27), np.int32),
+    'sp_upmap_out': ((int(caps[3]), 3), np.int32),
+}
+_UPMAP_ORDER = ('sp_upmap2', 'sp_upmap3', 'sp_upmap4', 'sp_upmap_out')
 
-def batch_build_ladder_maps(voxel_coords, voxel_mask, dims0, caps):
+
+def host_build_threads():
+    """Worker count for the C-level builder pool: one per available core
+    (the build is CPU-bound; hyper-threads don't help the merge loops)."""
+    import os
+    try:
+        return max(1, len(os.sched_getaffinity(0)))
+    except Exception:
+        return max(1, os.cpu_count() or 1)
+
+
+def batch_build_ladder_maps(voxel_coords, voxel_mask, dims0, caps,
+                            want_upmaps=False, n_threads=None):
     """Whole-batch native ladder build straight into (B, ...) arrays.
     voxel_coords (B, V, 3) int32, voxel_mask (B, V) bool. Returns the
     batched LADDER_KEYS dict (masks bool) or None when no native lib.
+    `want_upmaps` additionally emits the four transpose maps
+    (sp_upmap{2,3,4}, sp_upmap_out) inverted in C. ONE GIL-released ctypes
+    call per batch; samples are fanned out over a C-level `std::thread`
+    pool (`n_threads`, default one per available core — see BENCH_NOTES
+    for the measured single-core and projected multi-core budgets).
 
     The output arrays come from a per-(B, caps) TRIPLE-BUFFERED arena:
     fresh allocations page-fault ~35 MB/sample (~40 ms) every call, so the
@@ -193,6 +223,8 @@ def batch_build_ladder_maps(voxel_coords, voxel_mask, dims0, caps):
         return None
     B = len(voxel_coords)
     shapes = ladder_shapes_per_key(caps)
+    if want_upmaps:
+        shapes.update(_UPMAP_SHAPES(caps))
     try:
         import jax
         reuse = jax.default_backend() != 'cpu'
@@ -202,7 +234,7 @@ def batch_build_ladder_maps(voxel_coords, voxel_mask, dims0, caps):
         out = {k: np.empty((B,) + shape, dt)
                for k, (shape, dt) in shapes.items()}
     else:
-        akey = (B, tuple(int(x) for x in caps))
+        akey = (B, tuple(int(x) for x in caps), bool(want_upmaps))
         arenas = _LADDER_ARENAS.setdefault(akey, [None, None, None, 0])
         idx = arenas[3]
         if arenas[idx] is None:
@@ -210,9 +242,25 @@ def batch_build_ladder_maps(voxel_coords, voxel_mask, dims0, caps):
                            for k, (shape, dt) in shapes.items()}
         arenas[3] = (idx + 1) % 3
         out = arenas[idx]
-    for b in range(B):
-        build_ladder_maps(np.ascontiguousarray(voxel_coords[b], np.int32),
-                          int(np.sum(voxel_mask[b])), dims0, caps,
-                          out={k: v[b] for k, v in out.items()})
+    if hasattr(L, 'build_ladder_maps_batch'):
+        vc = np.ascontiguousarray(voxel_coords, np.int32)
+        n_ins = np.ascontiguousarray(
+            np.sum(np.asarray(voxel_mask, bool), axis=1), np.int32)
+        order = list(_LADDER_ARG_ORDER) + (
+            list(_UPMAP_ORDER) if want_upmaps else [])
+        ptrs = (ctypes.c_void_p * len(order))(
+            *[out[k].ctypes.data_as(ctypes.c_void_p) for k in order])
+        nt = int(n_threads) if n_threads else host_build_threads()
+        L.build_ladder_maps_batch(
+            vc, n_ins, int(B), int(vc.shape[1]),
+            np.ascontiguousarray(dims0, np.int32),
+            np.ascontiguousarray([int(c) for c in caps], np.int32),
+            int(bool(want_upmaps)), nt, ptrs)
+    else:  # pragma: no cover - stale .so
+        for b in range(B):
+            build_ladder_maps(np.ascontiguousarray(voxel_coords[b], np.int32),
+                              int(np.sum(voxel_mask[b])), dims0, caps,
+                              out={k: v[b] for k, v in out.items()
+                                   if k in _LADDER_ARG_ORDER})
     return {k: (v.view(bool) if k in _LADDER_MASK_KEYS else v)
             for k, v in out.items()}

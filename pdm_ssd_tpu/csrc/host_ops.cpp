@@ -16,9 +16,11 @@
 // acceleration layer for dataloader workers.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -187,31 +189,46 @@ struct Stage {
 
 // submanifold 3x3x3 neighbor map; out (cap, 27), absent -> cap.
 // Both the sites and their per-tap target keys are sorted (the flat-key
-// order invariant), so each tap is one two-pointer merge over the key
-// array — sequential scans instead of 27n random hash probes (the probes
-// dominated the builder: ~190 -> ~60 ms/sample at the 0.05 m shapes).
+// order invariant), so taps resolve by sequential two-pointer merges over
+// the key array — no random probes (the probes dominated the earlier
+// builder: ~190 -> ~60 ms/sample at the 0.05 m shapes). The three x-taps
+// of each (dz, dy) group target ADJACENT keys (tk-1, tk, tk+1), which in
+// the sorted array sit at consecutive positions — so ONE merge pass per
+// group resolves all three (9 passes instead of 27; measured 69.6 ->
+// ~40 ms/sample at the production caps).
 void subm_map(const Stage &s, int cap, int32_t *out) {
   std::fill(out, out + (int64_t)cap * 27, cap);
   for (int i = 0; i < s.n; ++i) out[(int64_t)i * 27 + 13] = i;  // center tap
-  int k = 0;
+  int g = 0;
   for (int dz = -1; dz <= 1; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx, ++k) {
-        if (k == 13) continue;
-        const int64_t off = (dz * s.H + dy) * s.W + dx;
-        int j = 0;
-        for (int i = 0; i < s.n; ++i) {
-          const int64_t z = s.coords[i * 3] + dz,
-                        y = s.coords[i * 3 + 1] + dy,
-                        x = s.coords[i * 3 + 2] + dx;
-          if (z < 0 || z >= s.D || y < 0 || y >= s.H || x < 0 || x >= s.W)
-            continue;
-          const int64_t tk = s.keys[i] + off;
-          while (j < s.n && s.keys[j] < tk) ++j;
-          if (j == s.n) break;
-          if (s.keys[j] == tk) out[(int64_t)i * 27 + k] = j;
+    for (int dy = -1; dy <= 1; ++dy, ++g) {
+      const int k0 = g * 3;  // taps (dz, dy, {-1, 0, +1})
+      const bool center_group = (dz == 0 && dy == 0);
+      const int64_t off = (dz * s.H + dy) * s.W;
+      int j = 0;
+      for (int i = 0; i < s.n; ++i) {
+        const int64_t z = s.coords[i * 3] + dz,
+                      y = s.coords[i * 3 + 1] + dy;
+        if (z < 0 || z >= s.D || y < 0 || y >= s.H) continue;
+        const int64_t x = s.coords[i * 3 + 2];
+        const int64_t tk = s.keys[i] + off;  // dx = 0 target
+        while (j < s.n && s.keys[j] < tk - 1) ++j;
+        int j2 = j;
+        if (j2 < s.n && s.keys[j2] == tk - 1) {
+          // x == 0: key tk-1 is the previous row's last cell, not a
+          // neighbor — advance past it but set no tap.
+          if (x > 0) out[(int64_t)i * 27 + k0] = j2;
+          ++j2;
         }
+        if (j2 < s.n && s.keys[j2] == tk) {
+          // dz == dy == 0: dx = 0 is the center tap, already set to i
+          if (!center_group) out[(int64_t)i * 27 + k0 + 1] = j2;
+          ++j2;
+        }
+        if (x + 1 < s.W && j2 < s.n && s.keys[j2] == tk + 1)
+          out[(int64_t)i * 27 + k0 + 2] = j2;
       }
+    }
 }
 
 // strided sparse-conv output sites + per-tap input map
@@ -272,42 +289,85 @@ void down_stage(const Stage &in, const int *ks, const int *st, const int *pd,
   const int K = ks[0] * ks[1] * ks[2];
   const int cap_in_slot = (int)(in.coords.size() / 3);
   std::fill(map, map + (int64_t)cap_out * K, cap_in_slot);
-  // per-tap two-pointer merge (see subm_map): the input target key
-  // flat_in(z*st-pd+kz, ...) is monotone in the sorted output order.
-  int k = 0;
-  for (int kz = 0; kz < ks[0]; ++kz)
-    for (int ky = 0; ky < ks[1]; ++ky)
-      for (int kx = 0; kx < ks[2]; ++kx, ++k) {
+  // two-pointer merges (see subm_map): the input target key
+  // flat_in(z*st-pd+kz, ...) is monotone in the sorted output order. For
+  // 3-wide x kernels the three kx taps target CONSECUTIVE keys, so one
+  // pass per (kz, ky) group resolves all three.
+  if (ks[2] == 3) {
+    int g = 0;
+    for (int kz = 0; kz < ks[0]; ++kz)
+      for (int ky = 0; ky < ks[1]; ++ky, ++g) {
+        const int k0 = g * 3;
         int j = 0;
         for (int i = 0; i < out.n; ++i) {
           const int64_t sz = out.coords[i * 3] * st[0] - pd[0] + kz,
                         sy = out.coords[i * 3 + 1] * st[1] - pd[1] + ky,
-                        sx = out.coords[i * 3 + 2] * st[2] - pd[2] + kx;
-          if (sz < 0 || sz >= in.D || sy < 0 || sy >= in.H || sx < 0 ||
-              sx >= in.W)
-            continue;
-          const int64_t tk = in.flat(sz, sy, sx);
+                        sx0 = out.coords[i * 3 + 2] * st[2] - pd[2];
+          if (sz < 0 || sz >= in.D || sy < 0 || sy >= in.H) continue;
+          // kx = 0 target key; stays linear in x even when sx0 = -1
+          // (the out-of-range taps are guarded below but still consume
+          // their adjacent key positions)
+          const int64_t tk = (sz * in.H + sy) * in.W + sx0;
           while (j < in.n && in.keys[j] < tk) ++j;
-          if (j == in.n) break;
-          if (in.keys[j] == tk) map[(int64_t)i * K + k] = j;
+          int j2 = j;
+          for (int kx = 0; kx < 3; ++kx) {
+            const int64_t sx = sx0 + kx;
+            if (j2 < in.n && in.keys[j2] == tk + kx) {
+              if (sx >= 0 && sx < in.W)
+                map[(int64_t)i * K + k0 + kx] = j2;
+              ++j2;
+            }
+          }
         }
       }
+  } else {
+    int k = 0;
+    for (int kz = 0; kz < ks[0]; ++kz)
+      for (int ky = 0; ky < ks[1]; ++ky)
+        for (int kx = 0; kx < ks[2]; ++kx, ++k) {
+          int j = 0;
+          for (int i = 0; i < out.n; ++i) {
+            const int64_t sz = out.coords[i * 3] * st[0] - pd[0] + kz,
+                          sy = out.coords[i * 3 + 1] * st[1] - pd[1] + ky,
+                          sx = out.coords[i * 3 + 2] * st[2] - pd[2] + kx;
+            if (sz < 0 || sz >= in.D || sy < 0 || sy >= in.H || sx < 0 ||
+                sx >= in.W)
+              continue;
+            const int64_t tk = in.flat(sz, sy, sx);
+            while (j < in.n && in.keys[j] < tk) ++j;
+            if (j == in.n) break;
+            if (in.keys[j] == tk) map[(int64_t)i * K + k] = j;
+          }
+        }
+  }
 }
 
-}  // namespace
+// transpose of a strided-conv rulebook (the host analog of spconv's
+// SparseInverseConv3d indice_key reuse; see sparse_maps.invert_down_map):
+// up[j, K-1-k] = i iff down[i, k] == j. Consumed as the UNet decoder's
+// inverse-conv forward map AND as the gather-transpose training backward
+// plan (`sparse_backbone.sparse_conv_mm`).
+void invert_map(const int32_t *down, int cap_out, int K, int cap_in,
+                int32_t *up) {
+  std::fill(up, up + (int64_t)cap_in * K, cap_out);
+  for (int i = 0; i < cap_out; ++i)
+    for (int k = 0; k < K; ++k) {
+      int32_t j = down[(int64_t)i * K + k];
+      if (j < cap_in) up[(int64_t)j * K + (K - 1 - k)] = i;
+    }
+}
 
-extern "C" {
-
-// One sample of build_backbone8x_maps (sparse_maps.py). Returns 0.
-// coords: (n_in, 3) zyx (any order); dims0 = (D+1, H, W); caps (5).
-int build_ladder_maps(
-    const int32_t *coords, int n_in, const int32_t *dims0,
-    const int32_t *caps, int32_t *perm1, int32_t *coords1, uint8_t *mask1,
-    int32_t *submap1, int32_t *coords2, uint8_t *mask2, int32_t *downmap2,
-    int32_t *submap2, int32_t *coords3, uint8_t *mask3, int32_t *downmap3,
-    int32_t *submap3, int32_t *coords4, uint8_t *mask4, int32_t *downmap4,
-    int32_t *submap4, int32_t *coords_out, uint8_t *mask_out,
-    int32_t *outmap) {
+// One sample of the ladder build; pointers are per-sample slices. The
+// four up* pointers may be null (eval path skips the transpose maps).
+void build_one(const int32_t *coords, int n_in, const int32_t *dims0,
+               const int32_t *caps, int32_t *perm1, int32_t *coords1,
+               uint8_t *mask1, int32_t *submap1, int32_t *coords2,
+               uint8_t *mask2, int32_t *downmap2, int32_t *submap2,
+               int32_t *coords3, uint8_t *mask3, int32_t *downmap3,
+               int32_t *submap3, int32_t *coords4, uint8_t *mask4,
+               int32_t *downmap4, int32_t *submap4, int32_t *coords_out,
+               uint8_t *mask_out, int32_t *outmap, int32_t *upmap2,
+               int32_t *upmap3, int32_t *upmap4, int32_t *upmap_out) {
   const int specs[4][3][3] = {
       {{3, 3, 3}, {2, 2, 2}, {1, 1, 1}},
       {{3, 3, 3}, {2, 2, 2}, {1, 1, 1}},
@@ -346,6 +406,8 @@ int build_ladder_maps(
   uint8_t *mask_arr[4] = {mask2, mask3, mask4, mask_out};
   int32_t *down_arr[4] = {downmap2, downmap3, downmap4, outmap};
   int32_t *subm_arr[4] = {submap2, submap3, submap4, nullptr};
+  int32_t *up_arr[4] = {upmap2, upmap3, upmap4, upmap_out};
+  const int Ks[4] = {27, 27, 27, 3};
   for (int t = 0; t < 4; ++t) {
     Stage &cur = *stages[t];
     down_stage(*prev, specs[t][0], specs[t][1], specs[t][2], caps[t + 1], cur,
@@ -355,7 +417,94 @@ int build_ladder_maps(
     std::fill(mask_arr[t], mask_arr[t] + caps[t + 1], 0);
     std::fill(mask_arr[t], mask_arr[t] + cur.n, 1);
     if (subm_arr[t]) subm_map(cur, caps[t + 1], subm_arr[t]);
+    if (up_arr[t])
+      invert_map(down_arr[t], caps[t + 1], Ks[t], caps[t], up_arr[t]);
     prev = &cur;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One sample of build_backbone8x_maps (sparse_maps.py). Returns 0.
+// coords: (n_in, 3) zyx (any order); dims0 = (D+1, H, W); caps (5).
+int build_ladder_maps(
+    const int32_t *coords, int n_in, const int32_t *dims0,
+    const int32_t *caps, int32_t *perm1, int32_t *coords1, uint8_t *mask1,
+    int32_t *submap1, int32_t *coords2, uint8_t *mask2, int32_t *downmap2,
+    int32_t *submap2, int32_t *coords3, uint8_t *mask3, int32_t *downmap3,
+    int32_t *submap3, int32_t *coords4, uint8_t *mask4, int32_t *downmap4,
+    int32_t *submap4, int32_t *coords_out, uint8_t *mask_out,
+    int32_t *outmap) {
+  build_one(coords, n_in, dims0, caps, perm1, coords1, mask1, submap1,
+            coords2, mask2, downmap2, submap2, coords3, mask3, downmap3,
+            submap3, coords4, mask4, downmap4, submap4, coords_out, mask_out,
+            outmap, nullptr, nullptr, nullptr, nullptr);
+  return 0;
+}
+
+// Whole-batch ladder build with a C-level worker pool over the samples
+// (the reference amortizes rulebook building across CUDA threads;
+// here the batch dim is the host-side parallel axis — ONE GIL-released
+// ctypes call per batch, samples fanned out over `n_threads` std::threads
+// with per-thread Stage arenas on their own stacks).
+//
+//   coords   (B, V, 3) int32   n_ins (B,) valid prefix lengths
+//   outs: array of 17 (+4 with want_upmaps) batched output pointers in
+//   LADDER_ARG_ORDER (+ upmap2, upmap3, upmap4, upmap_out), each (B, ...).
+int build_ladder_maps_batch(const int32_t *coords, const int32_t *n_ins,
+                            int B, int V, const int32_t *dims0,
+                            const int32_t *caps, int want_upmaps,
+                            int n_threads, void **outs) {
+  const int64_t c1 = caps[0], c2 = caps[1], c3 = caps[2], c4 = caps[3],
+                co = caps[4];
+  // per-sample element strides of the 21 outputs, in ABI order
+  const int64_t strides[21] = {
+      c1,     c1 * 3, c1,     c1 * 27,                    // perm1..submap1
+      c2 * 3, c2,     c2 * 27, c2 * 27,                   // stage 2
+      c3 * 3, c3,     c3 * 27, c3 * 27,                   // stage 3
+      c4 * 3, c4,     c4 * 27, c4 * 27,                   // stage 4
+      co * 3, co,     co * 3,                             // out
+      c1 * 27, c2 * 27,                                   // upmap2, upmap3
+  };
+  const int64_t up4_stride = c3 * 27, upout_stride = c4 * 3;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= B) return;
+      auto p32 = [&](int idx, int64_t stride) {
+        return (int32_t *)outs[idx] + (int64_t)b * stride;
+      };
+      auto pu8 = [&](int idx, int64_t stride) {
+        return (uint8_t *)outs[idx] + (int64_t)b * stride;
+      };
+      build_one(
+          coords + (int64_t)b * V * 3, n_ins[b], dims0, caps,
+          p32(0, strides[0]), p32(1, strides[1]), pu8(2, strides[2]),
+          p32(3, strides[3]), p32(4, strides[4]), pu8(5, strides[5]),
+          p32(6, strides[6]), p32(7, strides[7]), p32(8, strides[8]),
+          pu8(9, strides[9]), p32(10, strides[10]), p32(11, strides[11]),
+          p32(12, strides[12]), pu8(13, strides[13]), p32(14, strides[14]),
+          p32(15, strides[15]), p32(16, strides[16]), pu8(17, strides[17]),
+          p32(18, strides[18]),
+          want_upmaps ? p32(19, strides[19]) : nullptr,
+          want_upmaps ? p32(20, strides[20]) : nullptr,
+          want_upmaps ? (int32_t *)outs[21] + (int64_t)b * up4_stride
+                      : nullptr,
+          want_upmaps ? (int32_t *)outs[22] + (int64_t)b * upout_stride
+                      : nullptr);
+    }
+  };
+  int nt = std::max(1, std::min(n_threads, B));
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto &th : pool) th.join();
   }
   return 0;
 }

@@ -16,12 +16,15 @@ _SPARSE_BB_NAMES = ('SparseVoxelBackBone8x', 'SparseVoxelResBackBone8x',
                     'SparseUNetV2')
 
 
-def get_host_prepare(model_cfg, dataset_cfg):
+def get_host_prepare(model_cfg, dataset_cfg, training=False):
     """Per-batch host preprocessing for models whose device graph consumes
     host-precomputed tables (the sparse ladder's kernel maps,
     `ops/sparse_maps.py`). Returns a numpy batch->batch callable or None.
     The train/eval loops apply it before `jax.device_put` — the TPU analog
-    of spconv building its rulebooks outside the conv kernels."""
+    of spconv building its rulebooks outside the conv kernels.
+    `training=True` additionally ships the transpose (inverse) maps that the
+    gather-transpose backward consumes (`sparse_backbone.sparse_conv_mm`);
+    eval skips them to keep the host floor minimal."""
     bb = model_cfg.get('BACKBONE_3D', None)
     if bb is None:
         return None
@@ -47,6 +50,11 @@ def get_host_prepare(model_cfg, dataset_cfg):
 
     want_bev = model_cfg.get('DENSE_HEAD', {}).get('NAME') == 'VoxelNeXtHead'
 
+    # transpose maps: for the gather-transpose training backward, and (first
+    # three) the UNet decoder's inverse-conv forward maps
+    want_bwd = (training and bb.get('GATHER_BWD', True)
+                and qwin_cap is None and pwin_cap is None)
+
     def prepare(batch):
         if 'sp_submap1' in batch:
             return batch
@@ -57,13 +65,14 @@ def get_host_prepare(model_cfg, dataset_cfg):
         batch.update(batch_build_backbone8x(
             np.asarray(batch['voxel_coords']),
             np.asarray(batch['voxel_mask']), grid, caps,
-            qwin_corr_cap=qwin_cap, pwin_corr_cap=pwin_cap))
+            qwin_corr_cap=qwin_cap, pwin_corr_cap=pwin_cap,
+            want_upmaps=want_bwd))
         if want_bev:
             from ..ops.sparse_maps import batch_build_bev, ladder_shapes
             bev_hw = ladder_shapes(grid)[4][1:]
             batch.update(batch_build_bev(batch['sp_coords_out'],
                                          batch['sp_mask_out'], bev_hw))
-        if bb.get('NAME') == 'SparseUNetV2':
+        if not want_bwd and bb.get('NAME') == 'SparseUNetV2':
             # decoder inverse-conv maps = transposed down maps
             from ..ops.sparse_maps import batch_invert_down_maps
             batch.update(batch_invert_down_maps(batch, caps))

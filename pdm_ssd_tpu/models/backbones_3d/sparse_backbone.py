@@ -292,6 +292,76 @@ def qwin_corrections(x, feats, kernel, corr, dtype):
     return flat.reshape(B, Vout, F)
 
 
+def _gather_any(feats, plan):
+    """Dispatch a gather by plan shape: xwin `(j, pick)` tuple or plain
+    `(B, V, K)` neighbor table."""
+    if isinstance(plan, tuple):
+        return gather_taps_xwin(feats, plan)
+    return gather_taps(feats, plan)
+
+
+def _float0_like(tree):
+    """Zero cotangents for integer-valued plan pytrees (JAX requires
+    `float0` tangents for integer primals)."""
+    import numpy as np
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), tree)
+
+
+@jax.custom_vjp
+def sparse_conv_mm(feats, kernel, fplan, bplan):
+    """Fused sparse conv `gather(feats, fplan) @ kernel` whose BACKWARD is
+    itself one gather + two matmuls, via the transpose kernel map `bplan`.
+
+    The reference's spconv backward scatters gradients through the rulebook
+    on GPU (`spconv` autograd); XLA's autodiff of our gather formulation
+    would emit serial scatter-adds AND save the gathered `(B, V, K*C)`
+    tensor as a residual for dW — both backward killers on TPU (measured
+    3.3x the forward, round-3 BENCH_NOTES). Instead, the transpose of a
+    sparse conv's kernel map is itself a kernel map with the taps flipped:
+
+      * submanifold k3p1: `nbr[v, k] == u  <=>  nbr[u, K-1-k] == v`
+        (offsets are symmetric), so `bplan` is the SAME map/plan;
+      * strided convs: `bplan` is the host-inverted down map
+        (`ops/sparse_maps.invert_down_map` — already flip-stored).
+
+    With `h[u, k'] = dy[bplan[u, k']]` (one gather of dy):
+      d_feats[u] = sum_k' h[u, k'] @ W[K-1-k']^T          (one matmul)
+      dW[K-1-k'] = sum_u feats[u]^T h[u, k']              (one matmul)
+    and the only residuals are the layer INPUT table and the int plans —
+    no `(B, V, K*C)` residual, no scatter, batch-size-8 fits in HBM.
+    Exact up to float addition order (tests/test_sparse_backbone.py).
+    """
+    g = _gather_any(feats, fplan)
+    return jax.lax.dot_general(g, kernel, (((2,), (0,)), ((), ())))
+
+
+def _scm_fwd(feats, kernel, fplan, bplan):
+    return sparse_conv_mm(feats, kernel, fplan, bplan), \
+        (feats, kernel, fplan, bplan)
+
+
+def _scm_bwd(res, dy):
+    feats, kernel, fplan, bplan = res
+    C = feats.shape[-1]
+    F = dy.shape[-1]
+    K = kernel.shape[0] // C
+    h = _gather_any(dy, bplan)                           # (B, Vin, K*F)
+    W3 = kernel.reshape(K, C, F)
+    Wt = jnp.flip(W3, 0).transpose(0, 2, 1).reshape(K * F, C)
+    d_feats = jax.lax.dot_general(h, Wt.astype(h.dtype),
+                                  (((2,), (0,)), ((), ())))
+    dWt = jax.lax.dot_general(feats, h, (((0, 1), (0, 1)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (C, K*F)
+    dW = jnp.flip(dWt.reshape(C, K, F).transpose(1, 0, 2), 0) \
+        .reshape(K * C, F)
+    return (d_feats.astype(feats.dtype), dW.astype(kernel.dtype),
+            _float0_like(fplan), _float0_like(bplan))
+
+
+sparse_conv_mm.defvjp(_scm_fwd, _scm_bwd)
+
+
 class SparseConvBNReLU(nn.Module):
     """One sparse conv layer (submanifold when `nbr` maps a stage onto
     itself; strided when it maps onto the previous stage's slots).
@@ -310,23 +380,32 @@ class SparseConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask, training: bool = False,
-                 corr=None):
+                 corr=None, bwd_nbr=None):
         if self.table_dtype is not None:
             feats = feats.astype(self.table_dtype)
-        if isinstance(nbr, tuple) and nbr[1].ndim == 5:
-            if nbr[1].shape[2] == 2:                      # pwin_plan
-                x = gather_taps_pwin(feats, nbr)[:, :out_mask.shape[1]]
-            else:                                         # qwin_plan
-                x = gather_taps_qwin(feats, nbr)[:, :out_mask.shape[1]]
-        elif isinstance(nbr, tuple):                      # xwin_plan
-            x = gather_taps_xwin(feats, nbr)
-        else:
-            x = gather_taps(feats, nbr)
         dt = self.table_dtype or jnp.float32
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (x.shape[-1], self.features))
-        x = jax.lax.dot_general(x, kernel.astype(dt),
-                                (((2,), (0,)), ((), ())))
+        if bwd_nbr is not None and corr is None \
+                and not (isinstance(nbr, tuple) and nbr[1].ndim == 5):
+            C = feats.shape[-1]
+            K = (nbr.shape[-1] if not isinstance(nbr, tuple)
+                 else nbr[1].shape[-2] * 3)
+            kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                (K * C, self.features))
+            x = sparse_conv_mm(feats, kernel.astype(dt), nbr, bwd_nbr)
+        else:
+            if isinstance(nbr, tuple) and nbr[1].ndim == 5:
+                if nbr[1].shape[2] == 2:                  # pwin_plan
+                    x = gather_taps_pwin(feats, nbr)[:, :out_mask.shape[1]]
+                else:                                     # qwin_plan
+                    x = gather_taps_qwin(feats, nbr)[:, :out_mask.shape[1]]
+            elif isinstance(nbr, tuple):                  # xwin_plan
+                x = gather_taps_xwin(feats, nbr)
+            else:
+                x = gather_taps(feats, nbr)
+            kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                (x.shape[-1], self.features))
+            x = jax.lax.dot_general(x, kernel.astype(dt),
+                                    (((2,), (0,)), ((), ())))
         if corr is not None:
             x = qwin_corrections(x, feats, kernel, corr, dt)
         if self.use_bn:
@@ -347,15 +426,17 @@ class SparseBasicBlock(nn.Module):
     table_dtype: object = None
 
     @nn.compact
-    def __call__(self, feats, nbr, mask, training: bool = False, corr=None):
+    def __call__(self, feats, nbr, mask, training: bool = False, corr=None,
+                 bwd_nbr=None):
         identity = feats
         x = SparseConvBNReLU(self.features, barrier=self.barrier,
                              table_dtype=self.table_dtype)(
-            feats, nbr, mask, training, corr)
+            feats, nbr, mask, training, corr, bwd_nbr=bwd_nbr)
         x = SparseConvBNReLU(self.features, use_relu=False,
                              barrier=self.barrier,
                              table_dtype=self.table_dtype)(x, nbr, mask,
-                                                           training, corr)
+                                                           training, corr,
+                                                           bwd_nbr=bwd_nbr)
         x = nn.relu(x + identity)
         return jnp.where(mask[..., None], x, 0.0)
 
@@ -406,6 +487,11 @@ class SparseVoxelBackBone8x(nn.Module):
         barrier = cfg.get('LAYER_BARRIER', xwin or qwin or pwin)
         tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
             str(cfg.get('TABLE_DTYPE', '')).lower())
+        # gather-transpose backward (`sparse_conv_mm`): on whenever training
+        # and the host shipped the inverse down maps (sp_upmap*); submanifold
+        # maps are their own transpose so they need no extra tables.
+        gbwd = (training and cfg.get('GATHER_BWD', True)
+                and not (qwin or pwin) and 'sp_upmap2' in batch)
         feats = batch['voxel_features']                  # (B, cap1, Cin)
         ms = {}
 
@@ -419,31 +505,45 @@ class SparseVoxelBackBone8x(nn.Module):
                 return xwin_plan(nbr, cap_in), None
             return nbr, None
 
-        def stage_blocks(x, nbr, mask, ch, n_sub, name, corr):
+        def up_plan(key, cap_dy):
+            """Backward plan: gather of dy rows through the inverted down
+            map (plain for conv_out's non-x-adjacent z taps)."""
+            if not gbwd:
+                return None
+            up = batch[key]
+            if xwin and up.shape[-1] == 27:
+                return xwin_plan(up, cap_dy)
+            return up
+
+        def stage_blocks(x, nbr, mask, ch, n_sub, name, corr, bwd):
             for i in range(n_sub):
                 if residual:
                     x = SparseBasicBlock(ch, barrier=barrier,
                                          table_dtype=tdt,
                                          name=f'{name}_block{i}')(
-                        x, nbr, mask, training, corr)
+                        x, nbr, mask, training, corr, bwd_nbr=bwd)
                 else:
                     x = SparseConvBNReLU(ch, barrier=barrier,
                                          table_dtype=tdt,
                                          name=f'{name}_subm{i}')(
-                        x, nbr, mask, training, corr)
+                        x, nbr, mask, training, corr, bwd_nbr=bwd)
             return x
 
         # reorder input voxel features into sorted-slot order
         feats = jax.vmap(lambda f, p: f[p])(feats, batch['sp_perm1'])
 
-        # conv_input + conv1 (stage 1, submanifold only)
+        # conv_input + conv1 (stage 1, submanifold only). A subm map is its
+        # own transpose (tap-flipped), so the backward plan IS the forward
+        # plan — `sparse_conv_mm` flips the weight blocks.
         m1 = batch['sp_mask1']
         n1, c1 = make_plan('sp_submap1', batch['sp_submap1'], feats.shape[1])
+        b1 = n1 if gbwd else None
         x = SparseConvBNReLU(filters[0], barrier=barrier, table_dtype=tdt,
                              name='conv_input')(
-            jnp.where(m1[..., None], feats, 0.0), n1, m1, training, c1)
+            jnp.where(m1[..., None], feats, 0.0), n1, m1, training, c1,
+            bwd_nbr=b1)
         n_sub1 = 2 if residual else 1
-        x = stage_blocks(x, n1, m1, filters[0], n_sub1, 'conv1', c1)
+        x = stage_blocks(x, n1, m1, filters[0], n_sub1, 'conv1', c1, b1)
         ms['x_conv1'] = (x, batch['sp_coords1'], m1, 1)
 
         # stages 2-4: strided down conv + submanifold blocks
@@ -454,17 +554,21 @@ class SparseVoxelBackBone8x(nn.Module):
                                  prev_cap)
             sub, cs = make_plan(f'sp_submap{s}', batch[f'sp_submap{s}'],
                                 mask_s.shape[1])
+            bdown = up_plan(f'sp_upmap{s}', mask_s.shape[1])
+            bsub = sub if gbwd else None
             x = SparseConvBNReLU(ch, barrier=barrier, table_dtype=tdt,
                                  name=f'down{s}')(
-                x, down, mask_s, training, cd)
-            x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}', cs)
+                x, down, mask_s, training, cd, bwd_nbr=bdown)
+            x = stage_blocks(x, sub, mask_s, ch, 2, f'conv{s}', cs, bsub)
             ms[f'x_conv{s}'] = (x, batch[f'sp_coords{s}'], mask_s, 2 ** (s - 1))
 
-        # conv_out: z-stride (3,1,1)/(2,1,1) down conv
+        # conv_out: z-stride (3,1,1)/(2,1,1) down conv; its 3 z-taps are not
+        # x-adjacent, so both directions use the plain gather.
         mo = batch['sp_mask_out']
+        bout = batch.get('sp_upmap_out') if gbwd else None
         x = SparseConvBNReLU(out_ch, barrier=barrier, table_dtype=tdt,
                              name='conv_out')(
-            x, batch['sp_outmap'], mo, training)
+            x, batch['sp_outmap'], mo, training, bwd_nbr=bout)
 
         # scatter the final actives to the dense stride-8 BEV canvas and
         # height-compress (reference `HeightCompression`: z folds into C)
@@ -539,14 +643,20 @@ class SparseUNetV2(nn.Module):
         barrier = cfg.get('LAYER_BARRIER', xwin)
         tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
             str(cfg.get('TABLE_DTYPE', '')).lower())
+        # gather-transpose backward (see SparseVoxelBackBone8x): subm maps
+        # are self-transpose; down<->up maps are each other's transpose, and
+        # both directions are already in the batch for the UNet. conv_out
+        # additionally needs sp_upmap_out (training host_prepare).
+        gbwd = (training and cfg.get('GATHER_BWD', True)
+                and 'sp_upmap_out' in batch)
 
         def plan(nbr, cap_in):
             return xwin_plan(nbr, cap_in) if xwin else nbr
 
-        def conv(x, nbr, mask, ch, name, relu=True):
+        def conv(x, nbr, mask, ch, name, relu=True, bwd=None):
             return SparseConvBNReLU(ch, use_relu=relu, barrier=barrier,
                                     table_dtype=tdt, name=name)(
-                x, nbr, mask, training)
+                x, nbr, mask, training, bwd_nbr=bwd if gbwd else None)
 
         feats = batch['voxel_features']
         feats = jax.vmap(lambda f, p: f[p])(feats, batch['sp_perm1'])
@@ -558,20 +668,25 @@ class SparseUNetV2(nn.Module):
         # encoder (identical structure to SparseVoxelBackBone8x /
         # reference UNetV2 conv_input..conv4)
         x = conv(jnp.where(m[1][..., None], feats, 0.0), sub[1], m[1],
-                 filters[0], 'conv_input')
-        x = conv(x, sub[1], m[1], filters[0], 'conv1_subm0')
+                 filters[0], 'conv_input', bwd=sub[1])
+        x = conv(x, sub[1], m[1], filters[0], 'conv1_subm0', bwd=sub[1])
         enc[1] = x
+        downs, ups = {}, {}
         for s, ch in zip((2, 3, 4), filters[1:]):
-            down = plan(batch[f'sp_downmap{s}'], x.shape[1])
+            downs[s] = plan(batch[f'sp_downmap{s}'], x.shape[1])
+            ups[s] = plan(batch[f'sp_upmap{s}'], m[s].shape[1]) \
+                if f'sp_upmap{s}' in batch else None
             sub[s] = plan(batch[f'sp_submap{s}'], m[s].shape[1])
-            x = conv(x, down, m[s], ch, f'down{s}')
-            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm0')
-            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm1')
+            x = conv(x, downs[s], m[s], ch, f'down{s}', bwd=ups[s])
+            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm0', bwd=sub[s])
+            x = conv(x, sub[s], m[s], ch, f'conv{s}_subm1', bwd=sub[s])
             enc[s] = x
 
-        # conv_out -> stride-8 BEV (detection branch, as the 8x ladder)
+        # conv_out -> stride-8 BEV (detection branch, as the 8x ladder);
+        # its z-taps are not x-adjacent: plain gather both directions
         mo = batch['sp_mask_out']
-        xo = conv(x, batch['sp_outmap'], mo, out_ch, 'conv_out')
+        xo = conv(x, batch['sp_outmap'], mo, out_ch, 'conv_out',
+                  bwd=batch.get('sp_upmap_out'))
         Dz, Hy, Wx = self._shapes()[4]
         co = batch['sp_coords_out'].astype(jnp.int32)
         ncell = Dz * Hy * Wx
@@ -587,28 +702,31 @@ class SparseUNetV2(nn.Module):
             dense.shape[0], Hy, Wx, Dz * out_ch)
         batch['spatial_features_stride'] = 8
 
-        # decoder: UR blocks 4 -> 1 (reference forward :199-207)
-        def ur(lateral, bottom, s, ch, ch_out, up_nbr, up_mask, name):
+        # decoder: UR blocks 4 -> 1 (reference forward :199-207). The
+        # inverse conv's forward map is the upmap, so its transpose (the
+        # backward plan) is the DOWN map — both already on device.
+        def ur(lateral, bottom, s, ch, ch_out, up_nbr, up_mask, name,
+               inv_bwd):
             t = SparseBasicBlock(ch, barrier=barrier, table_dtype=tdt,
                                  name=f'{name}_t')(
-                lateral, sub[s], m[s], training)
+                lateral, sub[s], m[s], training,
+                bwd_nbr=sub[s] if gbwd else None)
             cat = jnp.concatenate([bottom, t], axis=-1)          # (B,V,2C)
-            xm = conv(cat, sub[s], m[s], ch, f'{name}_m')
+            xm = conv(cat, sub[s], m[s], ch, f'{name}_m', bwd=sub[s])
             red = cat.reshape(*cat.shape[:-1], ch, 2).sum(-1)
             x = jnp.where(m[s][..., None], xm + red, 0.0)
-            return conv(x, up_nbr, up_mask, ch_out, f'{name}_inv')
+            return conv(x, up_nbr, up_mask, ch_out, f'{name}_inv',
+                        bwd=inv_bwd)
 
-        up = {s: plan(batch[f'sp_upmap{s}'], m[s].shape[1])
-              for s in (2, 3, 4)}
         x_up4 = ur(enc[4], enc[4], 4, filters[3], filters[2],
-                   up[4], m[3], 'up4')
+                   ups[4], m[3], 'up4', downs[4])
         x_up3 = ur(enc[3], x_up4, 3, filters[2], filters[1],
-                   up[3], m[2], 'up3')
+                   ups[3], m[2], 'up3', downs[3])
         x_up2 = ur(enc[2], x_up3, 2, filters[1], filters[0],
-                   up[2], m[1], 'up2')
+                   ups[2], m[1], 'up2', downs[2])
         # UR1's "inverse" slot is the plain subm conv5 (reference :130,207)
         x_up1 = ur(enc[1], x_up2, 1, filters[0], filters[0],
-                   sub[1], m[1], 'up1')
+                   sub[1], m[1], 'up1', sub[1])
 
         # per-voxel point features at the stage-1 slots (= input voxels in
         # sorted-slot order), reference forward :210-216

@@ -67,9 +67,64 @@ def pool_roi_points(points, rois, num_sampled: int, extra: float = 0.0,
     return idx.astype(jnp.int32), valid
 
 
+def pool_roi_points_ref(points, rois, num_sampled: int, extra_width,
+                        roi_mask=None):
+    """Exact `roipoint_pool3d` kernel contract
+    (`roipoint_pool3d_kernel.cu:26-100`): membership in the enlarged ROI
+    with |z-cz| <= dz/2, |lx| < dx/2+1e-5, |ly| < dy/2+1e-5; the FIRST
+    `num_sampled` in-box points in point order; fewer hits are cyclically
+    duplicated; zero hits set the empty flag. Fixed-shape: one scatter of
+    ranks (first-K ranks are unique per ROI) + a modular take.
+    Returns idx (B, R, K) int32, empty (B, R) bool."""
+    B, N = points.shape[:2]
+    R = rois.shape[1]
+    K = num_sampled
+    big = box_ops.enlarge_box3d(rois, extra_width)
+
+    def member(pts, boxes):
+        shift = pts[:, None, :] - boxes[None, :, :3]            # (N, R, 3)
+        cosa = jnp.cos(-boxes[:, 6])
+        sina = jnp.sin(-boxes[:, 6])
+        lx = shift[..., 0] * cosa[None] - shift[..., 1] * sina[None]
+        ly = shift[..., 0] * sina[None] + shift[..., 1] * cosa[None]
+        inside = ((jnp.abs(shift[..., 2]) <= boxes[None, :, 5] / 2)
+                  & (jnp.abs(lx) < boxes[None, :, 3] / 2 + 1e-5)
+                  & (jnp.abs(ly) < boxes[None, :, 4] / 2 + 1e-5))
+        return inside.T                                          # (R, N)
+
+    inside = jax.vmap(member)(points, big)                       # (B, R, N)
+    if roi_mask is not None:
+        inside = inside & roi_mask[..., None]
+    rank = jnp.cumsum(inside, axis=-1) - 1                       # (B, R, N)
+    tgt = jnp.where(inside & (rank < K), rank, K)
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), inside.shape)
+    idx0 = jax.vmap(jax.vmap(
+        lambda t, p: jnp.zeros(K + 1, jnp.int32).at[t].set(p)))(
+        tgt, pos)[..., :K]                                       # (B, R, K)
+    cnt = jnp.minimum(jnp.sum(inside, axis=-1), K)               # (B, R)
+    kmod = jnp.arange(K, dtype=jnp.int32)[None, None, :] \
+        % jnp.maximum(cnt, 1)[..., None]
+    idx = jnp.take_along_axis(idx0, kmod, axis=-1)
+    return idx.astype(jnp.int32), cnt == 0
+
+
 class PointRCNNHead(RoIHeadTemplate):
-    """Config: NUM_SAMPLED_POINTS, ROI_POINT_EXTRA, XYZ_UP_LAYER, CLS_FC,
-    REG_FC, SHARED_FC, NMS_CONFIG{TRAIN,TEST}, TARGET_CONFIG, LOSS_CONFIG."""
+    """Two architectures, selected by config:
+
+    * reference-faithful canonical PointNet (when `SA_CONFIG` is present —
+      the shipped `pointrcnn.yaml` default): exact `roipoint_pool3d`
+      pooling (first-K + cyclic duplication), [xyz, score, depth] prefix ->
+      xyz_up 1x1 MLP, merge-down over [xyz_feats; point_feats], then the
+      3-level single-scale SA stack (FPS + ball query + shared MLP; last
+      level group-all) and cls/reg Conv1d stacks — torch-oracle
+      parity-tested end-to-end (`tests/test_pointrcnn_e2e_parity.py`).
+      Reference `pcdet/models/roi_heads/pointrcnn_head.py:9-179`.
+    * TPU-lite variant (no `SA_CONFIG`): any-K pooling + shared-MLP +
+      masked max — cheaper, kept for configs that opt in.
+
+    Config (ref arch): ROI_POINT_POOL {NUM_SAMPLED_POINTS, POOL_EXTRA_WIDTH,
+    DEPTH_NORMALIZER}, USE_BN, XYZ_UP_LAYER, SA_CONFIG {NPOINTS, RADIUS,
+    NSAMPLE, MLPS}, CLS_FC, REG_FC, NMS_CONFIG, TARGET_CONFIG."""
     input_channels: int = 0
 
     @nn.compact
@@ -90,6 +145,10 @@ class PointRCNNHead(RoIHeadTemplate):
         pts = batch['point_coords']                             # (B, Np, 3)
         feats = batch['point_features']                         # (B, Np, C)
         scores = batch.get('point_cls_scores')                  # (B, Np)
+
+        if 'SA_CONFIG' in cfg:
+            return self._ref_forward(batch, cfg, rois, pts, feats, scores,
+                                     training)
 
         idx, valid = pool_roi_points(
             pts, rois, K, extra=cfg.get('ROI_POINT_EXTRA', 0.0),
@@ -123,6 +182,92 @@ class PointRCNNHead(RoIHeadTemplate):
                            name='cls_fc')(x, training=training)
         rcnn_reg = FCStack(tuple(cfg.get('REG_FC', [256])), 7,
                            name='reg_fc')(x, training=training)
+        batch['rcnn_cls_preds'] = rcnn_cls                      # (B, R, 1)
+        batch['rcnn_reg_preds'] = rcnn_reg                      # (B, R, 7)
+        return batch
+
+    def _ref_forward(self, batch, cfg, rois, pts, feats, scores, training):
+        """Reference-faithful canonical refinement (see class docstring)."""
+        from ..backbones_3d.pointnet2_backbone import SAModuleMSG
+        pool_cfg = as_cfg(cfg.ROI_POINT_POOL)
+        K = int(pool_cfg.get('NUM_SAMPLED_POINTS', 512))
+        extra = pool_cfg.get('POOL_EXTRA_WIDTH', [0.0, 0.0, 0.0])
+        if not isinstance(extra, (list, tuple)):
+            extra = [extra] * 3
+        dnorm = float(pool_cfg.get('DEPTH_NORMALIZER', 70.0))
+        use_bn = bool(cfg.get('USE_BN', False))
+        B, R = rois.shape[:2]
+
+        idx, empty = pool_roi_points_ref(pts, rois, K, extra,
+                                         roi_mask=batch.get('roi_mask'))
+
+        def gather(t, i):
+            return jnp.take_along_axis(
+                t, i.reshape(i.shape[0], -1)[..., None], axis=1
+            ).reshape(i.shape + (t.shape[-1],))
+
+        pooled_xyz = gather(pts, idx)                           # (B, R, K, 3)
+        pooled_feat = gather(feats, idx)                        # (B, R, K, C)
+        score = gather(scores[..., None], idx) if scores is not None \
+            else jnp.zeros(pooled_xyz[..., :1].shape, pts.dtype)
+        # depth of the GLOBAL point, before the canonical transform
+        # (`pointrcnn_head.py:110` point_depths)
+        depth = jnp.linalg.norm(pooled_xyz, axis=-1,
+                                keepdims=True) / dnorm - 0.5
+        local = pooled_xyz - rois[:, :, None, :3]
+        local = box_ops.rotate_points_along_z(
+            local.reshape(B * R, K, 3), -rois[..., 6].reshape(B * R)
+        ).reshape(B, R, K, 3)
+        prefix = jnp.concatenate([local, score, depth], axis=-1)
+        # empty ROIs: the kernel zeroes the whole pooled block
+        live = ~empty[..., None, None]
+        prefix = jnp.where(live, prefix, 0.0)
+        pooled_feat = jnp.where(live, pooled_feat, 0.0)
+
+        def mlp(x, chans, name):
+            for i, c in enumerate(chans):
+                x = nn.Dense(c, use_bias=not use_bn,
+                             name=f'{name}_{i}')(x)
+                if use_bn:
+                    x = nn.BatchNorm(use_running_average=not training,
+                                     momentum=0.9, epsilon=1e-5,
+                                     name=f'{name}_bn_{i}')(x)
+                x = nn.relu(x)
+            return x
+
+        up = tuple(cfg.get('XYZ_UP_LAYER', [128, 128]))
+        xf = mlp(prefix, up, 'xyz_up')
+        merged = mlp(jnp.concatenate([xf, pooled_feat], axis=-1),
+                     (up[-1],), 'merge_down')
+
+        sa_cfg = as_cfg(cfg.SA_CONFIG)
+        l_xyz = prefix[..., :3].reshape(B * R, K, 3)
+        l_feat = merged.reshape(B * R, K, -1)
+        for k in range(len(sa_cfg.NPOINTS)):
+            npoint = int(sa_cfg.NPOINTS[k])
+            mlp_spec = [list(sa_cfg.MLPS[k])]
+            if npoint > 0:
+                l_xyz, l_feat = SAModuleMSG(
+                    npoint=npoint, radii=[sa_cfg.RADIUS[k]],
+                    nsamples=[sa_cfg.NSAMPLE[k]], mlps=mlp_spec,
+                    use_xyz=True, name=f'sa_{k}')(
+                    l_xyz, l_feat, training=training)
+            else:
+                # GroupAll (`pointnet2_utils.GroupAll`): one group of all
+                # points, xyz first
+                grouped = jnp.concatenate(
+                    [l_xyz, l_feat], axis=-1)[:, None]          # (B',1,N,3+C)
+                from ..layers import SharedMLP
+                g = SharedMLP(tuple(mlp_spec[0]), name=f'sa_{k}_mlp_0')(
+                    grouped, training=training)
+                l_feat = jnp.max(g, axis=2)                     # (B', 1, C)
+                l_xyz = jnp.zeros((B * R, 1, 3), l_xyz.dtype)
+
+        shared = l_feat[:, 0].reshape(B, R, -1)                 # (B, R, C)
+        rcnn_cls = FCStack(tuple(cfg.get('CLS_FC', [256, 256])), 1,
+                           name='cls_fc')(shared, training=training)
+        rcnn_reg = FCStack(tuple(cfg.get('REG_FC', [256, 256])), 7,
+                           name='reg_fc')(shared, training=training)
         batch['rcnn_cls_preds'] = rcnn_cls                      # (B, R, 1)
         batch['rcnn_reg_preds'] = rcnn_reg                      # (B, R, 7)
         return batch

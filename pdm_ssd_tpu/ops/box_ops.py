@@ -53,11 +53,11 @@ def boxes_to_corners_3d(boxes3d: jax.Array) -> jax.Array:
 
 
 def enlarge_box3d(boxes3d: jax.Array, extra_width=(0., 0., 0.)) -> jax.Array:
-    """Grow dx/dy/dz by 2*extra_width (`box_utils.enlarge_box3d:187`)."""
+    """Grow dx/dy/dz by extra_width — each SIDE grows by extra/2
+    (`box_utils.enlarge_box3d:187-200`: `large[:, 3:6] += extra_width`,
+    added ONCE, not per side); heading/center unchanged."""
     extra = jnp.asarray(extra_width, dtype=boxes3d.dtype)
-    large = boxes3d.at[..., 3:6].add(2.0 * extra)
-    # reference also shifts nothing else; heading/center unchanged
-    return large
+    return boxes3d.at[..., 3:6].add(extra)
 
 
 def points_in_boxes(points: jax.Array, boxes: jax.Array,

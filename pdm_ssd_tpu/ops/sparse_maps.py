@@ -204,19 +204,23 @@ def build_backbone8x_maps(coords, n_valid, grid_size_whd, caps):
 
 
 def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
-                           qwin_corr_cap=None, pwin_corr_cap=None):
+                           qwin_corr_cap=None, pwin_corr_cap=None,
+                           want_upmaps=False):
     """Stack `build_backbone8x_maps` over the batch dim.
     voxel_coords: (B, V, 3) zyx; voxel_mask: (B, V) bool.
     `qwin_corr_cap` / `pwin_corr_cap`: per-tap correction-bucket capacity
     (int or {map_name: int}) — adds the packed-window correction keys (see
     `qwin_corr_buckets`) needed when BACKBONE_3D.QWIN / PWIN is on (the
-    two share the batch-key naming; at most one applies per model)."""
+    two share the batch-key naming; at most one applies per model).
+    `want_upmaps` adds the four transpose maps (UPMAP_KEYS) — inverted in
+    C on the native path, numpy otherwise."""
     out = None
     try:
         from ..csrc import batch_build_ladder_maps as native_batch
         out = native_batch(np.asarray(voxel_coords), np.asarray(voxel_mask),
                            np.asarray(ladder_shapes(grid_size_whd)[0],
-                                      np.int32), caps)
+                                      np.int32), caps,
+                           want_upmaps=want_upmaps)
     except Exception:
         out = None
     if out is None:
@@ -225,6 +229,8 @@ def batch_build_backbone8x(voxel_coords, voxel_mask, grid_size_whd, caps,
                                      grid_size_whd, caps)
                for b in range(len(voxel_coords))]
         out = {k: np.stack([p[k] for p in per]) for k in LADDER_KEYS}
+        if want_upmaps:
+            out.update(batch_invert_ladder(out, caps))
     if qwin_corr_cap is not None:
         out.update(batch_qwin_corrections(out, caps, qwin_corr_cap))
     elif pwin_corr_cap is not None:
@@ -259,6 +265,21 @@ def batch_invert_down_maps(maps, caps):
         dm = maps[f'sp_downmap{s}']
         out[f'sp_upmap{s}'] = np.stack(
             [invert_down_map(dm[b], cap_in) for b in range(len(dm))])
+    return out
+
+
+UPMAP_KEYS = ['sp_upmap2', 'sp_upmap3', 'sp_upmap4', 'sp_upmap_out']
+
+
+def batch_invert_ladder(maps, caps):
+    """All four transpose maps of the 8x ladder (sp_upmap{2,3,4} +
+    sp_upmap_out) — consumed by the gather-transpose training backward
+    (`sparse_backbone.sparse_conv_mm`); the UNet decoder uses the first
+    three as its inverse-conv forward maps."""
+    out = batch_invert_down_maps(maps, caps)
+    om = maps['sp_outmap']
+    out['sp_upmap_out'] = np.stack(
+        [invert_down_map(om[b], caps[3]) for b in range(len(om))])
     return out
 
 

@@ -541,3 +541,117 @@ def test_packed_win_full_backbone_matches_plain(rng, variant):
     np.testing.assert_allclose(np.asarray(got['pred_scores']),
                                np.asarray(ref['pred_scores']),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('xwin', [False, True])
+def test_gather_transpose_backward_matches_autodiff(rng, xwin):
+    """`sparse_conv_mm`'s gather-transpose backward (one gather of dy
+    through the tap-flipped / host-inverted map + two matmuls) must produce
+    the same gradients as XLA autodiff of the plain gather+matmul
+    formulation — for every param of the full SECOND assembly, including
+    the strided down convs (sp_upmap*) and conv_out (sp_upmap_out)."""
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
+    from tests.test_detector3d_zoo import make_batch
+    cfg = second_sparse_cfg()
+    cfg['BACKBONE_3D']['XWIN'] = xwin
+    ds = ds_cfg_fine()
+    model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    B, V = 2, 256
+    coords = np.zeros((B, V, 3), np.int32)
+    feats_pts = np.zeros((B, V, 5, 4), np.float32)
+    nump = np.zeros((B, V), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for b in range(B):
+        pts = np.asarray(batch['points'][b])
+        cell = np.floor((pts[:, :3] - [0, -16, -3]) / [0.5, 0.5, 4 / 24]).astype(int)
+        ok = np.all((cell >= 0) & (cell < [64, 64, 24]), 1)
+        pts, cell = pts[ok], cell[ok]
+        flat = (cell[:, 2] * 64 + cell[:, 1]) * 64 + cell[:, 0]
+        order = np.argsort(flat, kind='stable')
+        pts, cell, flat = pts[order], cell[order], flat[order]
+        _, starts, counts = np.unique(flat, return_index=True,
+                                      return_counts=True)
+        nv = min(len(starts), V)
+        for i in range(nv):
+            k = min(counts[i], 5)
+            feats_pts[b, i, :k] = pts[starts[i]:starts[i] + k]
+            nump[b, i] = k
+        coords[b, :nv] = cell[starts[:nv]][:, ::-1]
+        vmask[b, :nv] = True
+    batch.update({'voxels': feats_pts, 'voxel_coords': coords,
+                  'voxel_num_points': nump, 'voxel_mask': vmask})
+    prepare = get_host_prepare(cfg, ds, training=True)
+    batch = prepare({k: np.asarray(v) for k, v in batch.items()})
+    assert 'sp_upmap2' in batch and 'sp_upmap_out' in batch
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+
+    def grads(b):
+        return jax.grad(lambda p: model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']}, b,
+            training=True, mutable=['batch_stats'],
+            method=model.forward_with_loss)[0][0])(variables['params'])
+
+    g_gather = grads(batch)                      # upmaps present -> custom vjp
+    b_plain = {k: v for k, v in batch.items() if not k.startswith('sp_upmap')}
+    g_auto = grads(b_plain)                      # falls back to XLA autodiff
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(g_gather)
+    flat_a = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(g_auto)[0])
+    for path, v in flat_g:
+        key = jax.tree_util.keystr(path)
+        a = flat_a[key]
+        np.testing.assert_allclose(np.asarray(v), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=key)
+
+
+@pytest.mark.parametrize('n_threads', [1, 4])
+def test_native_batch_builder_upmaps_match_numpy(rng, n_threads):
+    """The batched C entry (`build_ladder_maps_batch`: one GIL-released
+    call, std::thread pool over samples, in-C transpose-map inversion) vs
+    the per-sample numpy reference + `batch_invert_ladder` — exact
+    equality of all LADDER_KEYS + UPMAP_KEYS, at 1 and 4 worker threads."""
+    from pdm_ssd_tpu import csrc
+    if csrc.lib() is None or not hasattr(csrc.lib(), 'build_ladder_maps_batch'):
+        pytest.skip('no native toolchain')
+    dims_grid = (32, 24, 12)     # (W, H, D)
+    D, H, W = 13, 24, 32
+    B, V = 3, 800
+    coords = np.zeros((B, V, 3), np.int32)
+    vmask = np.zeros((B, V), bool)
+    for b in range(B):
+        n = [800, 517, 643][b]
+        flat = rng.choice(D * H * W, n, replace=False)
+        c = np.stack([flat // (H * W), (flat // W) % H, flat % W],
+                     -1).astype(np.int32)
+        rng.shuffle(c)
+        coords[b, :n] = c
+        vmask[b, :n] = True
+    caps = [800, 2000, 2000, 1200, 1200]
+    ref = {}
+    per = [sm.build_backbone8x_maps(coords[b], int(vmask[b].sum()),
+                                    dims_grid, caps)
+           for b in range(B)]
+    # force the numpy path for the reference
+    import pdm_ssd_tpu.csrc as c2
+    orig = c2.build_ladder_maps
+    try:
+        c2.build_ladder_maps = lambda *a, **k: None
+        per = [sm.build_backbone8x_maps(coords[b], int(vmask[b].sum()),
+                                        dims_grid, caps) for b in range(B)]
+    finally:
+        c2.build_ladder_maps = orig
+    ref = {k: np.stack([p[k] for p in per]) for k in sm.LADDER_KEYS}
+    ref.update(sm.batch_invert_ladder(ref, caps))
+    nat = csrc.batch_build_ladder_maps(
+        coords, vmask, np.asarray(sm.ladder_shapes(dims_grid)[0], np.int32),
+        caps, want_upmaps=True, n_threads=n_threads)
+    assert nat is not None
+    for k in sm.LADDER_KEYS + sm.UPMAP_KEYS:
+        np.testing.assert_array_equal(np.asarray(ref[k], np.int64),
+                                      np.asarray(nat[k], np.int64), err_msg=k)

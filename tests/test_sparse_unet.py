@@ -195,3 +195,44 @@ def test_sparse_unet_xwin_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(got['spatial_features']),
                                np.asarray(ref['spatial_features']),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('xwin', [False, True])
+def test_unet_gather_transpose_backward_matches_autodiff(rng, xwin):
+    """Gather-transpose backward through the FULL UNet (encoder down convs
+    via upmaps, decoder inverse convs via DOWN maps, conv_out via
+    sp_upmap_out) matches XLA autodiff gradients."""
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
+    cfg = _parta2_sparse_cfg()
+    cfg.BACKBONE_3D.XWIN = xwin
+    from tests.test_sparse_backbone import ds_cfg_fine
+    from tests.test_sparse_two_stage import _fine_voxel_batch
+    ds = ds_cfg_fine()
+    raw = _fine_voxel_batch(rng)
+    prepare = get_host_prepare(cfg, ds, training=True)
+    batch = prepare({k: np.asarray(v) for k, v in raw.items()})
+    assert 'sp_upmap_out' in batch
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+
+    def grads(b):
+        return jax.grad(lambda p: model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']}, b,
+            training=True, mutable=['batch_stats'],
+            rngs={'targets': jax.random.PRNGKey(3)},
+            method=model.forward_with_loss)[0][0])(variables['params'])
+
+    g_gather = grads(batch)
+    b_plain = dict(batch)
+    b_plain.pop('sp_upmap_out')            # gbwd gate -> autodiff path
+    g_auto = grads(b_plain)
+    flat_a = dict((jax.tree_util.keystr(p), v) for p, v in
+                  jax.tree_util.tree_flatten_with_path(g_auto)[0])
+    for path, v in jax.tree_util.tree_flatten_with_path(g_gather)[0]:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat_a[key]),
+                                   rtol=2e-4, atol=2e-5, err_msg=key)

@@ -315,3 +315,136 @@ def test_second_spconv_stack_full_forward_parity(rng):
         np.asarray(out['anchor_box_preds_map']), t_box, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(out['anchor_dir_preds_map']), t_dir, rtol=1e-4, atol=1e-4)
+
+
+def torch_res_pairs(bb):
+    """(jax_name, conv, bn, fold_bias) for VoxelResBackBone8x: basic-block
+    convs carry biases (bias=norm_fn is not None), folded into the ported
+    BN running mean (BN(x+b) == BN' with mean' = mean - b)."""
+    pairs = [('conv_input', bb.conv_input[0], bb.conv_input[1])]
+    for i in (0, 1):
+        blk = bb.conv1[i]
+        pairs.append((f'conv1_block{i}.SparseConvBNReLU_0', blk.conv1,
+                      blk.bn1))
+        pairs.append((f'conv1_block{i}.SparseConvBNReLU_1', blk.conv2,
+                      blk.bn2))
+    for s, seq in ((2, bb.conv2), (3, bb.conv3), (4, bb.conv4)):
+        pairs.append((f'down{s}', seq[0][0], seq[0][1]))
+        for i in (1, 2):
+            blk = seq[i]
+            pairs.append((f'conv{s}_block{i-1}.SparseConvBNReLU_0',
+                          blk.conv1, blk.bn1))
+            pairs.append((f'conv{s}_block{i-1}.SparseConvBNReLU_1',
+                          blk.conv2, blk.bn2))
+    pairs.append(('conv_out', bb.conv_out[0], bb.conv_out[1]))
+    return pairs
+
+
+def test_second_res_spconv_backbone_parity(rng):
+    """VoxelResBackBone8x (residual ladder, stage-4 width 128) activation
+    parity through HeightCompression — `spconv_backbone.py:184-270`."""
+    ED = ref_oracle._EasyDict
+    bb_mod = ref_oracle.load('pcdet.models.backbones_3d.spconv_backbone')
+    torch.manual_seed(1)
+    bb = bb_mod.VoxelResBackBone8x(model_cfg=ED({}), input_channels=4,
+                                   grid_size=np.array([64, 64, 24]))
+    for m in bb.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            randomize_bn(m, rng)
+    bb.eval()
+
+    vox, coords, nump, vmask = make_batch(rng)
+    B, V = coords.shape[:2]
+    flat_coords = []
+    mean_feats = []
+    for b in range(B):
+        n = int(vmask[b].sum())
+        m = (vox[b, :n].sum(1) /
+             np.maximum(nump[b, :n, None], 1)).astype(np.float32)
+        mean_feats.append(m)
+        flat_coords.append(np.concatenate(
+            [np.full((n, 1), b), coords[b, :n]], 1))
+    tdict = {
+        'voxel_features': torch.tensor(np.concatenate(mean_feats)),
+        'voxel_coords': torch.tensor(
+            np.concatenate(flat_coords).astype(np.int32)),
+        'batch_size': B,
+    }
+    with torch.no_grad():
+        tdict = bb(tdict)
+    t_out = tdict['encoded_spconv_tensor']
+
+    cfg, ds = jax_cfg(), ds_cfg()
+    cfg['NAME'] = 'SECONDNet'
+    cfg['BACKBONE_3D']['NAME'] = 'SparseVoxelResBackBone8x'
+    cfg['BACKBONE_3D']['NUM_FILTERS'] = [16, 32, 64, 128]
+    model = build_network(cfg, num_class=1, dataset_cfg=ds,
+                          class_names=['Car'])
+    batch = {'voxels': vox, 'voxel_coords': coords, 'voxel_num_points': nump,
+             'voxel_mask': vmask}
+    prepare = get_host_prepare(cfg, ds)
+    batch = {k: jnp.asarray(v) for k, v in prepare(batch).items()}
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    def find_key(tree, member):
+        hits = [k for k, v in tree.items()
+                if isinstance(v, dict) and member in v]
+        assert len(hits) == 1, (member, list(tree))
+        return hits[0]
+
+    bb_key = find_key(params, 'conv_input')
+    for name, conv, bn in torch_res_pairs(bb):
+        parts = name.split('.')
+        tp, ts = params[bb_key], stats[bb_key]
+        for p_ in parts[:-1]:
+            tp, ts = tp[p_], ts[p_]
+        leaf = parts[-1]
+        tp[leaf]['kernel'] = subm_w(conv)
+        p, s = bn_port(bn)
+        if conv.bias is not None:
+            s = dict(s)
+            s['mean'] = s['mean'] - conv.bias.detach().numpy()
+        tp[leaf]['MaskedBatchNorm_0'] = p
+        ts[leaf]['MaskedBatchNorm_0'] = s
+
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params),
+                 'batch_stats': jax.tree_util.tree_map(jnp.asarray, stats)}
+    out = model.apply(variables, batch, training=False)
+
+    ms = out['multi_scale_3d_features_sparse']
+    ref_ms = tdict['multi_scale_3d_features']
+    for s in (1, 2, 3, 4):
+        x, co, mask = (np.asarray(ms[f'x_conv{s}'][0]),
+                       np.asarray(ms[f'x_conv{s}'][1]),
+                       np.asarray(ms[f'x_conv{s}'][2]))
+        ref_rows = row_lookup(ref_ms[f'x_conv{s}'].indices,
+                              ref_ms[f'x_conv{s}'].features.numpy())
+        checked = 0
+        for b in range(B):
+            for v in range(co.shape[1]):
+                if not mask[b, v]:
+                    continue
+                key = (b, int(co[b, v, 0]), int(co[b, v, 1]),
+                       int(co[b, v, 2]))
+                np.testing.assert_allclose(x[b, v], ref_rows[key],
+                                           rtol=2e-4, atol=2e-4,
+                                           err_msg=f'res x_conv{s} {key}')
+                checked += 1
+        assert checked == len(ref_rows), (s, checked, len(ref_rows))
+
+    # final out-actives parity (stride-8, z-compressed input to BEV)
+    xo, coo, mo = (np.asarray(out['encoded_sparse_out'][0]),
+                   np.asarray(out['encoded_sparse_out'][1]),
+                   np.asarray(out['encoded_sparse_out'][2]))
+    ref_rows = row_lookup(t_out.indices, t_out.features.numpy())
+    for b in range(B):
+        for v in range(coo.shape[1]):
+            if mo[b, v]:
+                key = (b, int(coo[b, v, 0]), int(coo[b, v, 1]),
+                       int(coo[b, v, 2]))
+                np.testing.assert_allclose(xo[b, v], ref_rows[key],
+                                           rtol=2e-4, atol=2e-4,
+                                           err_msg=f'conv_out {key}')

@@ -50,6 +50,13 @@ def main():
     ap.add_argument('--no_bwd', action='store_true')
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 feature slot tables (TABLE_DTYPE)')
+    ap.add_argument('--batch', type=int, default=2)
+    ap.add_argument('--gbwd', type=int, default=1,
+                    help='gather-transpose backward (sparse_conv_mm): '
+                         '1 on (default), 0 XLA autodiff')
+    ap.add_argument('--full_step', action='store_true',
+                    help='bench the full fused train step (losses + Adam '
+                         'update) instead of grad-only')
     args = ap.parse_args()
 
     import jax
@@ -84,7 +91,7 @@ def main():
                                     np.float32), training=True,
                          num_point_features=4)
 
-    B, V = 2, 16000
+    B, V = args.batch, 16000
     rng = np.random.RandomState(0)
     vox = np.zeros((B, V, 5, 4), np.float32)
     coords = np.zeros((B, V, 3), np.int32)
@@ -107,7 +114,9 @@ def main():
              'voxel_num_points': nump, 'voxel_mask': vmask,
              'gt_boxes': gt, 'gt_mask': np.ones((B, 8), bool)}
 
-    prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
+    cfg.MODEL.BACKBONE_3D.GATHER_BWD = bool(args.gbwd)
+    prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG,
+                               training=not args.no_bwd)
     t0 = time.perf_counter()
     batch = prepare(batch)
     t_maps = time.perf_counter() - t0
@@ -141,6 +150,26 @@ def main():
           f'({B/fms*1e3:.1f} fps/chip)', flush=True)
 
     if args.no_bwd:
+        return
+
+    if args.full_step:
+        from pdm_ssd_tpu.runtime.trainer import (create_train_state,
+                                                 make_train_step)
+        hostb = {k: np.asarray(v) for k, v in batch.items()}
+        state, tx, _ = create_train_state(model, hostb, cfg.OPTIMIZATION,
+                                          10, 10)
+        tstep = make_train_step(model, tx)
+        t0 = time.time()
+        state, m = tstep(state, batch)
+        np.asarray(jax.device_get(m['loss']))
+        print(f'full-step compile {time.time()-t0:.0f}s', flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = tstep(state, batch)
+        np.asarray(jax.device_get(m['loss']))
+        sms = (time.perf_counter() - t0) / iters * 1e3
+        print(f'SECOND sparse FULL train step (B={B}): {sms:.1f} ms/batch '
+              f'= {B/sms*1e3:.2f} samples/s/chip', flush=True)
         return
 
     def loss_fn(params, b):

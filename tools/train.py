@@ -81,7 +81,7 @@ def main():
     model = build_network(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset_cfg=cfg.DATA_CONFIG,
                           class_names=cfg.CLASS_NAMES)
-    host_prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG)
+    host_prepare = get_host_prepare(cfg.MODEL, cfg.DATA_CONFIG, training=True)
     example_batch = next(iter(train_loader))
     if host_prepare is not None:
         example_batch = host_prepare(example_batch)
