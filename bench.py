@@ -36,7 +36,8 @@ def main():
     _enable_compilation_cache()
     # single-pass bf16 matmul/conv lowering for f32 tensors (inference path;
     # the heatmap/box numerics tolerate it — validated by the overfit and
-    # round-trip tests at this precision)
+    # round-trip tests at this precision; measured AP budget <=0.14 R40 on the
+    # mini set — BENCH_NOTES 'bf16 quality budget')
     jax.config.update('jax_default_matmul_precision', 'bfloat16')
     from __graft_entry__ import _flagship, _make_batch
 

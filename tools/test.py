@@ -35,8 +35,17 @@ def parse_config():
                         help='max minutes to wait for new checkpoints (--eval_all)')
     parser.add_argument('--profile', action='store_true', default=False,
                         help='capture a jax.profiler trace of the first eval batches')
+    parser.add_argument('--matmul_precision', type=str, default=None,
+                        choices=['bfloat16', 'tensorfloat32', 'float32'],
+                        help='jax_default_matmul_precision for the eval '
+                             '(bench.py uses bfloat16; default: f32). '
+                             'Used for the bf16 AP-budget measurement.')
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+    if args.matmul_precision:
+        import jax
+        jax.config.update('jax_default_matmul_precision',
+                          args.matmul_precision)
     cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)
