@@ -166,10 +166,25 @@ class SparseInverseConv3d(_SparseConvBase):
         rec = x.indice_dict[self.indice_key]
         fine_idx, fine_shape, ksize, stride, pad = rec
         d = x.dense()
-        # conv_transpose3d computes out[j] = sum_{i,t: i*s - p + t = j}
-        # in[i] w[t] with weight layout (in, out, kz, ky, kx)
-        out = F.conv_transpose3d(d, self.weight.transpose(0, 1).flip(2, 3, 4),
-                                 self.bias, stride=stride, padding=pad)
+        # exact ADJOINT of the recorded SparseConv3d:
+        # out[j] = sum_{i, t : i*s - p + t = j} in[i] @ W[t], which is
+        # F.conv_transpose3d with weight laid out (in, out, kz, ky, kx)
+        # (torch's ConvTranspose IS the conv gradient — no extra flip).
+        # Consumers porting weights from a tap-flip-stored decoder (the
+        # repo's `invert_down_map` convention) reverse the tap order.
+        # the strided conv floor-truncates, so the natural transpose extent
+        # (in-1)*s - 2p + k can undershoot the fine shape; `output_padding`
+        # restores the high-edge cells WITH their true contributions (they
+        # are read by the last coarse cell's high taps — zero-padding here
+        # silently dropped 9/60 fine rows on a 16->8 y-dim, measured).
+        natural = [(d.size(2 + ax) - 1) * stride[ax] - 2 * pad[ax]
+                   + ksize[ax] for ax in range(3)]
+        opad = tuple(max(0, min(stride[ax] - 1,
+                                fine_shape[ax] - natural[ax]))
+                     for ax in range(3))
+        out = F.conv_transpose3d(d, self.weight.transpose(0, 1),
+                                 self.bias, stride=stride, padding=pad,
+                                 output_padding=opad)
         out = out[:, :, :fine_shape[0], :fine_shape[1], :fine_shape[2]]
         ii = fine_idx.long()
         feats = out[ii[:, 0], :, ii[:, 1], ii[:, 2], ii[:, 3]]

@@ -448,3 +448,126 @@ def test_second_res_spconv_backbone_parity(rng):
                 np.testing.assert_allclose(xo[b, v], ref_rows[key],
                                            rtol=2e-4, atol=2e-4,
                                            err_msg=f'conv_out {key}')
+
+
+def subm_w_flipped(conv):
+    """Tap-REVERSED port for inverse convs: the shim's SparseInverseConv3d
+    is the exact adjoint (applies W[t] to the (coarse i, tap t) pair),
+    while the JAX decoder consumes the flip-stored `invert_down_map`
+    (applies its kernel at K-1-t) — so W_jax[K-1-t] = W_torch[t]."""
+    w = conv.weight.detach().permute(2, 3, 4, 1, 0).flip(0, 1, 2)
+    K = w.shape[0] * w.shape[1] * w.shape[2]
+    return w.reshape(K * w.shape[3], w.shape[4]).numpy()
+
+
+def test_unet_v2_decoder_torch_parity(rng):
+    """The reference's own UNetV2 (Part-A2 backbone, `spconv_unet.py:49-230`)
+    through the dense spconv emulation vs the JAX SparseUNetV2: encoder
+    stages, conv_out, AND the UR decoder (lateral SparseBasicBlock,
+    merge-down conv, channel reduction, inverse convs through the
+    transposed rulebook) — per-voxel `point_features` parity at the
+    stage-1 slots."""
+    ED = ref_oracle._EasyDict
+    un_mod = ref_oracle.load('pcdet.models.backbones_3d.spconv_unet')
+    torch.manual_seed(5)
+    net = un_mod.UNetV2(model_cfg=ED({'RETURN_ENCODED_TENSOR': True}),
+                        input_channels=4, grid_size=np.array([64, 64, 24]),
+                        voxel_size=[0.5, 0.5, 0.16666667],
+                        point_cloud_range=[0, -16, -3, 32, 16, 1])
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            randomize_bn(m, rng)
+    net.eval()
+
+    vox, coords, nump, vmask = make_batch(rng)
+    B, V = coords.shape[:2]
+    mean_feats, flat_coords = [], []
+    for b in range(B):
+        n = int(vmask[b].sum())
+        mean_feats.append((vox[b, :n].sum(1) /
+                           np.maximum(nump[b, :n, None], 1)).astype(np.float32))
+        flat_coords.append(np.concatenate(
+            [np.full((n, 1), b), coords[b, :n]], 1))
+    with torch.no_grad():
+        tdict = net({'voxel_features': torch.tensor(np.concatenate(mean_feats)),
+                     'voxel_coords': torch.tensor(
+                         np.concatenate(flat_coords).astype(np.int32)),
+                     'batch_size': B})
+    t_pf = tdict['point_features'].numpy()
+    t_pc = tdict['point_coords'].numpy()
+
+    # ---- JAX standalone SparseUNetV2 with ported weights
+    from pdm_ssd_tpu.models.backbones_3d.sparse_backbone import SparseUNetV2
+    from pdm_ssd_tpu.ops import sparse_maps as sm
+    caps = [256, 2048, 2048, 2048, 1024]
+    maps = sm.batch_build_backbone8x(coords, vmask, (64, 64, 24), caps,
+                                     want_upmaps=True)
+    vfeat = (vox.sum(2) / np.maximum(nump[..., None], 1)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in maps.items()}
+    batch['voxel_features'] = jnp.asarray(vfeat)
+    jnet = SparseUNetV2(model_cfg=CfgNode({'NUM_FILTERS': [16, 32, 64, 64],
+                                           'OUT_FEATURES': 128}),
+                        input_channels=4, grid_size=(64, 64, 24),
+                        voxel_size=(0.5, 0.5, 0.16666667),
+                        point_cloud_range=(0, -16, -3, 32, 16, 1))
+    variables = jnet.init({'params': jax.random.PRNGKey(0)}, dict(batch),
+                          training=False)
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    def port(leaf_path, conv, bn, flipped=False):
+        tp, ts = params, stats
+        parts = leaf_path.split('.')
+        for p_ in parts[:-1]:
+            tp, ts = tp[p_], ts[p_]
+        leaf = parts[-1]
+        tp[leaf]['kernel'] = subm_w_flipped(conv) if flipped else subm_w(conv)
+        p, s = bn_port(bn)
+        if conv.bias is not None:
+            s = dict(s)
+            s['mean'] = s['mean'] - conv.bias.detach().numpy()
+        tp[leaf]['MaskedBatchNorm_0'] = p
+        ts[leaf]['MaskedBatchNorm_0'] = s
+
+    port('conv_input', net.conv_input[0], net.conv_input[1])
+    port('conv1_subm0', net.conv1[0][0], net.conv1[0][1])
+    for s_, seq in ((2, net.conv2), (3, net.conv3), (4, net.conv4)):
+        port(f'down{s_}', seq[0][0], seq[0][1])
+        port(f'conv{s_}_subm0', seq[1][0], seq[1][1])
+        port(f'conv{s_}_subm1', seq[2][0], seq[2][1])
+    port('conv_out', net.conv_out[0], net.conv_out[1])
+    for s_, t_blk, m_blk, inv_blk, inv_flip in (
+            (4, net.conv_up_t4, net.conv_up_m4, net.inv_conv4, True),
+            (3, net.conv_up_t3, net.conv_up_m3, net.inv_conv3, True),
+            (2, net.conv_up_t2, net.conv_up_m2, net.inv_conv2, True),
+            (1, net.conv_up_t1, net.conv_up_m1, net.conv5[0], False)):
+        port(f'up{s_}_t.SparseConvBNReLU_0', t_blk.conv1, t_blk.bn1)
+        port(f'up{s_}_t.SparseConvBNReLU_1', t_blk.conv2, t_blk.bn2)
+        port(f'up{s_}_m', m_blk[0], m_blk[1])
+        port(f'up{s_}_inv', inv_blk[0], inv_blk[1], flipped=inv_flip)
+
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params),
+                 'batch_stats': jax.tree_util.tree_map(jnp.asarray, stats)}
+    out = jnet.apply(variables, dict(batch), training=False)
+
+    j_pf = np.asarray(out['point_features'])
+    j_pc = np.asarray(out['point_coords'])
+    j_m = np.asarray(out['point_mask'])
+    ref_rows = {}
+    for i in range(len(t_pf)):
+        key = (int(t_pc[i, 0]), round(float(t_pc[i, 1]), 4),
+               round(float(t_pc[i, 2]), 4), round(float(t_pc[i, 3]), 4))
+        ref_rows[key] = t_pf[i]
+    checked = 0
+    for b in range(B):
+        for v in range(j_pf.shape[1]):
+            if not j_m[b, v]:
+                continue
+            key = (b, round(float(j_pc[b, v, 0]), 4),
+                   round(float(j_pc[b, v, 1]), 4),
+                   round(float(j_pc[b, v, 2]), 4))
+            assert key in ref_rows, key
+            np.testing.assert_allclose(j_pf[b, v], ref_rows[key],
+                                       rtol=2e-4, atol=2e-4, err_msg=str(key))
+            checked += 1
+    assert checked == len(ref_rows)

@@ -95,8 +95,12 @@ def main():
         bvars = jax.jit(lambda bb=bb: bb.init(
             {'params': jax.random.PRNGKey(0)}, dict(bb_batch),
             training=False))()
-        f = jax.jit(lambda b, bb=bb, bv=bvars: bb.apply(
-            bv, dict(b), training=False)['spatial_features'])
+        # fetch scalars only (a 72 MB canvas fetch over the tunnel would
+        # dominate); sum point_features too so the UNet decoder is not DCEd
+        f = jax.jit(lambda b, bb=bb, bv=bvars: (lambda o:
+            jnp.sum(o['spatial_features'][0, 0, 0]) +
+            (jnp.sum(o['point_features'][0, 0]) if 'point_features' in o
+             else 0.0))(bb.apply(bv, dict(b), training=False)))
         ms = timeit(f, bb_batch)
         print(f'{name}: {ms:.1f} ms/batch', flush=True)
 
@@ -112,9 +116,9 @@ def main():
     bvars = jax.jit(lambda: bev.init(
         {'params': jax.random.PRNGKey(0)},
         {'spatial_features': canvas}, training=False))()
-    f = jax.jit(lambda c: bev.apply(
+    f = jax.jit(lambda c: jnp.sum(bev.apply(
         bvars, {'spatial_features': c},
-        training=False)['spatial_features_2d'])
+        training=False)['spatial_features_2d'][0, 0, 0]))
     ms = timeit(f, canvas)
     print(f'BaseBEVBackbone ({Hy}x{Wx}x{Dz * 128}): {ms:.1f} ms/batch',
           flush=True)
