@@ -1,5 +1,6 @@
 """Data-parallel training on the virtual 8-device CPU mesh: one full jitted
 train step with sharded batch, verifying loss decreases and state updates."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -94,12 +95,15 @@ def test_point_exact_flagship_multichip_parity():
     assert b_m.shape == b_s.shape
 
 
-def test_sparse_ladder_multichip_parity(rng):
+@pytest.mark.parametrize('gbwd', [False, True])
+def test_sparse_ladder_multichip_parity(rng, gbwd):
     """The sparse voxel ladder (gather-matmul convs over host-built slot
     tables, xwin window fetch) under the 8-device mesh: one sharded train
     step + one sharded predict, numerically matching single-device on the
     same global batch. The host kernel maps ride the batch dict and shard
-    along the batch axis like any other input."""
+    along the batch axis like any other input. gbwd=True additionally
+    ships the transpose maps, so the gather-transpose custom_vjp backward
+    (`sparse_conv_mm`) runs under pjit with the psum gradient reduction."""
     import sys
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tests'))
@@ -140,8 +144,9 @@ def test_sparse_ladder_multichip_parity(rng):
     batch = dict(base)
     batch.update({'voxels': feats_pts, 'voxel_coords': coords,
                   'voxel_num_points': nump, 'voxel_mask': vmask})
-    batch = get_host_prepare(cfg, ds)(
+    batch = get_host_prepare(cfg, ds, training=gbwd)(
         {k: np.asarray(v) for k, v in batch.items()})
+    assert ('sp_upmap_out' in batch) == gbwd
 
     state, tx, _ = create_train_state(
         model, batch, opt_cfg(), total_iters_each_epoch=10, total_epochs=2)
