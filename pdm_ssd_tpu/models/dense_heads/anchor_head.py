@@ -30,7 +30,16 @@ from ...utils.config import as_cfg
 
 def generate_anchors(anchor_cfg_list, grid_size, point_cloud_range):
     """Returns anchors (A, 7) float32 and per-class slices; anchors ordered
-    [class][y][x][size=1][rot]. grid_size: (W, H) of the feature map."""
+    [class][y][x][size=1][rot]. grid_size: (W, H) of the feature map.
+
+    Grid convention matches the reference `AnchorGenerator`
+    (`target_assigner/anchor_generator.py:20-45`): by default
+    (`align_center` False) positions span the range ENDPOINT-INCLUSIVE with
+    stride (max-min)/(n-1); `align_center: True` uses cell centers with
+    stride (max-min)/n. The convention moves every anchor by up to half a
+    cell — assignment and box decode depend on it, so it must match for
+    checkpoint/output parity (caught by the round-4 SECOND train-loss
+    parity test)."""
     W, H = grid_size
     x0, y0 = point_cloud_range[0], point_cloud_range[1]
     x1, y1 = point_cloud_range[3], point_cloud_range[4]
@@ -41,10 +50,16 @@ def generate_anchors(anchor_cfg_list, grid_size, point_cloud_range):
         sizes = np.array(cfg['anchor_sizes'], np.float32)        # (S, 3)
         rots = np.array(cfg['anchor_rotations'], np.float32)     # (R,)
         heights = np.array(cfg['anchor_bottom_heights'], np.float32)
-        stride_x = (x1 - x0) / W
-        stride_y = (y1 - y0) / H
-        xs = x0 + (np.arange(W) + 0.5) * stride_x
-        ys = y0 + (np.arange(H) + 0.5) * stride_y
+        if cfg.get('align_center', False):
+            stride_x = (x1 - x0) / W
+            stride_y = (y1 - y0) / H
+            xs = x0 + (np.arange(W) + 0.5) * stride_x
+            ys = y0 + (np.arange(H) + 0.5) * stride_y
+        else:
+            stride_x = (x1 - x0) / max(W - 1, 1)
+            stride_y = (y1 - y0) / max(H - 1, 1)
+            xs = np.arange(x0, x1 + 1e-5, stride_x, dtype=np.float32)[:W]
+            ys = np.arange(y0, y1 + 1e-5, stride_y, dtype=np.float32)[:H]
         gy, gx = np.meshgrid(ys, xs, indexing='ij')              # (H, W)
         n_cells = H * W
         S, R = len(sizes), len(rots)

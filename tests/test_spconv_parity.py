@@ -571,3 +571,126 @@ def test_unet_v2_decoder_torch_parity(rng):
                                        rtol=2e-4, atol=2e-4, err_msg=str(key))
             checked += 1
     assert checked == len(ref_rows)
+
+
+def test_second_spconv_stack_train_loss_parity(rng):
+    """TRAIN-mode composition parity for the SECOND stack: the reference's
+    own forward (train-mode BN batch stats) + AxisAlignedTargetAssigner +
+    sigmoid-focal / sin-difference smooth-L1 / direction losses vs the JAX
+    `forward_with_loss` with ported weights on the same batch + GT — loss
+    components match. MATCH_HEIGHT=False keeps the torch assigner CUDA-free
+    (`axis_aligned_target_assigner.py:141`)."""
+    vfe, bb, hc, bev, heads = build_torch_stack(rng)
+    ED = ref_oracle._EasyDict
+    ah_mod = ref_oracle.load('pcdet.models.dense_heads.anchor_head_single')
+    cfg, ds = jax_cfg(), ds_cfg()
+    torch.manual_seed(2)
+    head_cfg = dict(cfg['DENSE_HEAD'])
+    # the reference reads the stride from each anchor-generator entry and
+    # wants the full assigner keys (OpenPCDet yaml defaults)
+    head_cfg['ANCHOR_GENERATOR_CONFIG'] = [
+        dict(c, feature_map_stride=8)
+        for c in head_cfg['ANCHOR_GENERATOR_CONFIG']]
+    head_cfg['TARGET_ASSIGNER_CONFIG'] = dict(
+        head_cfg['TARGET_ASSIGNER_CONFIG'],
+        POS_FRACTION=-1.0, SAMPLE_SIZE=512, NORM_BY_NUM_EXAMPLES=False)
+    head = ah_mod.AnchorHeadSingle(
+        model_cfg=ED(head_cfg), input_channels=64,
+        num_class=1, class_names=['Car'], grid_size=np.array([64, 64, 24]),
+        point_cloud_range=np.array([0, -16, -3, 32, 16, 1], np.float32),
+        predict_boxes_when_training=False)
+    for m in (vfe, bb, hc, bev, head):
+        m.train()
+
+    vox, coords, nump, vmask = make_batch(rng)
+    B, V = coords.shape[:2]
+    gt = np.zeros((B, 5, 8), np.float32)
+    gt[:, :, 0] = rng.uniform(5, 28, (B, 5))
+    gt[:, :, 1] = rng.uniform(-12, 12, (B, 5))
+    gt[:, :, 2] = -1.0
+    gt[:, :, 3:6] = [3.9, 1.6, 1.56]
+    gt[:, :, 6] = rng.uniform(-np.pi, np.pi, (B, 5))
+    gt[:, :, 7] = 1
+
+    flat_vox, flat_coords, flat_num = [], [], []
+    for b in range(B):
+        n = int(vmask[b].sum())
+        flat_vox.append(vox[b, :n])
+        flat_num.append(nump[b, :n])
+        flat_coords.append(np.concatenate([np.full((n, 1), b),
+                                           coords[b, :n]], 1))
+    tdict = {
+        'voxels': torch.tensor(np.concatenate(flat_vox)),
+        'voxel_num_points': torch.tensor(np.concatenate(flat_num)),
+        'voxel_coords': torch.tensor(
+            np.concatenate(flat_coords).astype(np.int32)),
+        'batch_size': B,
+        'gt_boxes': torch.tensor(gt),
+    }
+    with torch.no_grad():
+        tdict = vfe(tdict)
+        tdict = bb(tdict)
+        tdict = hc(tdict)
+        bev_out = bev({'spatial_features': tdict['spatial_features']})
+        tdict['spatial_features_2d'] = bev_out['spatial_features_2d']
+        tdict = head(tdict)
+        t_loss, t_tb = head.get_loss()
+
+    model = build_network(cfg, num_class=1, dataset_cfg=ds,
+                          class_names=['Car'])
+    batch = {'voxels': vox, 'voxel_coords': coords, 'voxel_num_points': nump,
+             'voxel_mask': vmask, 'gt_boxes': gt,
+             'gt_mask': np.ones((B, 5), bool)}
+    prepare = get_host_prepare(cfg, ds)
+    batch = {k: jnp.asarray(v) for k, v in prepare(batch).items()}
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    params = jax.tree_util.tree_map(np.asarray, variables['params'])
+    stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
+
+    def find_key(tree, member):
+        hits = [k for k, v in tree.items()
+                if isinstance(v, dict) and member in v]
+        assert len(hits) == 1, (member, list(tree))
+        return hits[0]
+
+    bb_key = find_key(params, 'conv_input')
+    for name, conv, bn in torch_conv_bn_pairs(bb):
+        params[bb_key][name]['kernel'] = subm_w(conv)
+        p, s = bn_port(bn)
+        params[bb_key][name]['MaskedBatchNorm_0'] = p
+        stats[bb_key][name]['MaskedBatchNorm_0'] = s
+    bev_key = find_key(params, 'down0_conv0')
+    convs = [m for m in bev.blocks[0] if isinstance(m, torch.nn.Conv2d)]
+    bns = [m for m in bev.blocks[0] if isinstance(m, torch.nn.BatchNorm2d)]
+    for k, (cv, bn) in enumerate(zip(convs, bns)):
+        params[bev_key][f'down0_conv{k}']['kernel'] = t2j(
+            cv.weight.permute(2, 3, 1, 0))
+        p, s = bn_port(bn)
+        params[bev_key][f'down0_bn{k}'] = p
+        stats[bev_key][f'down0_bn{k}'] = s
+    de = bev.deblocks[0]
+    params[bev_key]['up0_deconv']['kernel'] = t2j(
+        de[0].weight.permute(2, 3, 0, 1).flip(0, 1))
+    p, s = bn_port(de[1])
+    params[bev_key]['up0_bn'] = p
+    stats[bev_key]['up0_bn'] = s
+    hkey = find_key(params, 'conv_cls')
+    for nm, cv in (('conv_cls', head.conv_cls), ('conv_box', head.conv_box),
+                   ('conv_dir_cls', head.conv_dir_cls)):
+        params[hkey][nm] = {'kernel': t2j(cv.weight.permute(2, 3, 1, 0)),
+                            'bias': t2j(cv.bias)}
+
+    variables = {'params': jax.tree_util.tree_map(jnp.asarray, params),
+                 'batch_stats': jax.tree_util.tree_map(jnp.asarray, stats)}
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                method=model.forward_with_loss)
+
+    np.testing.assert_allclose(float(tb['anchor_cls_loss']),
+                               float(t_tb['rpn_loss_cls']), rtol=1e-3)
+    np.testing.assert_allclose(float(tb['anchor_loc_loss']),
+                               float(t_tb['rpn_loss_loc']), rtol=1e-3)
+    np.testing.assert_allclose(float(tb['anchor_dir_loss']),
+                               float(t_tb['rpn_loss_dir']), rtol=1e-3)
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=1e-3)
