@@ -657,3 +657,53 @@ def test_atss_assigner(rng):
                                 method=model.forward_with_loss)
     assert np.isfinite(float(loss))
     assert float(tb.get('anchor_loc_loss', 0.0)) > 0  # positives were matched
+
+
+def test_pointrcnn_two_stage_ref_arch(rng):
+    """PointRCNN with the reference-faithful canonical head (SA_CONFIG
+    present -> roipoint first-K pooling + xyz_up/merge_down + SA stack):
+    forward+loss+grad+predict at small shapes — the train-path complement
+    to the eval-mode e2e torch parity (`test_pointrcnn_e2e_parity`)."""
+    ds = CfgNode({'POINT_CLOUD_RANGE': [0, -16, -3, 32, 16, 1],
+                  'NUM_POINT_FEATURES': 4})
+    cfg = pointrcnn_cfg()
+    cfg.ROI_HEAD.update({
+        'USE_BN': False, 'DP_RATIO': 0.0,
+        'ROI_POINT_POOL': {'POOL_EXTRA_WIDTH': [0.0, 0.0, 0.0],
+                           'NUM_SAMPLED_POINTS': 32,
+                           'DEPTH_NORMALIZER': 70.0},
+        'XYZ_UP_LAYER': [16, 8],
+        'SA_CONFIG': {'NPOINTS': [16, 8, -1], 'RADIUS': [0.5, 1.0, 100],
+                      'NSAMPLE': [8, 8, 8],
+                      'MLPS': [[16, 16], [16, 16], [16, 32]]},
+    })
+    model = build_network(cfg, num_class=3, dataset_cfg=ds)
+    batch = make_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'targets': jax.random.PRNGKey(1)},
+                           batch, training=False)
+    assert 'sa_0' in variables['params']['roi_head']
+    (loss, tb), _ = model.apply(variables, batch, training=True,
+                                mutable=['batch_stats'],
+                                rngs={'targets': jax.random.PRNGKey(2)},
+                                method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    assert 'rcnn_cls_loss' in tb
+
+    g = jax.grad(lambda p: model.apply(
+        {'params': p, 'batch_stats': variables['batch_stats']}, batch,
+        training=True, mutable=['batch_stats'],
+        rngs={'targets': jax.random.PRNGKey(3)},
+        method=model.forward_with_loss)[0][0])(variables['params'])
+    for name in ('xyz_up_0', 'merge_down_0', 'sa_0', 'sa_2_mlp_0',
+                 'cls_fc'):
+        total = sum(np.abs(np.asarray(v)).sum() for v in
+                    jax.tree_util.tree_leaves(g['roi_head'][name]))
+        assert np.isfinite(total) and total > 0, name
+    # reg loss may be zero-weighted when random-init proposals miss the
+    # REG_FG_THRESH IoU; grads must still be finite
+    total = sum(np.abs(np.asarray(v)).sum() for v in
+                jax.tree_util.tree_leaves(g['roi_head']['reg_fc']))
+    assert np.isfinite(total)
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[2] == 7
