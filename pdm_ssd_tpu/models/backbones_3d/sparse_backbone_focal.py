@@ -172,7 +172,8 @@ class FocalSparseConv(nn.Module):
             skip_mask_kernel=self.skip_mask_kernel)
 
         out = SparseConvBNReLU(self.features, name='conv')(
-            feats, esubmap, bits, training)
+            feats, esubmap, bits, training,
+            bwd_nbr=esubmap if training else None)
         return out, bits, loss
 
 
@@ -220,10 +221,16 @@ class VoxelBackBone8xFocal(nn.Module):
 
         # conv_input + conv1 subm block over C_1 (static base mask)
         m1, n1 = batch['fl_cmask1'], batch['fl_submap1']
+        # submanifold maps are self-transpose: reuse as the
+        # gather-transpose backward plan (down maps keep XLA autodiff —
+        # the focal ladder has no host-built inverses)
+        gbwd = training and cfg.get('GATHER_BWD', True)
+        bwd = (lambda nbr: nbr) if gbwd else (lambda nbr: None)
         x = SparseConvBNReLU(filters[0], name='conv_input')(
-            jnp.where(m1[..., None], feats, 0.0), n1, m1, training)
+            jnp.where(m1[..., None], feats, 0.0), n1, m1, training,
+            bwd_nbr=bwd(n1))
         x = SparseConvBNReLU(filters[0], name='conv1_subm0')(
-            x, n1, m1, training)
+            x, n1, m1, training, bwd_nbr=bwd(n1))
         act = m1
 
         n_sub = {1: 0, 2: 2, 3: 2}       # extra subm blocks before focal
@@ -240,7 +247,8 @@ class VoxelBackBone8xFocal(nn.Module):
                 act = nxt
                 for i in range(n_sub[s]):
                     x = SparseConvBNReLU(ch, name=f'conv{s}_subm{i}')(
-                        x, batch[f'fl_submap{s}'], act, training)
+                        x, batch[f'fl_submap{s}'], act, training,
+                        bwd_nbr=bwd(batch[f'fl_submap{s}']))
             x, act, floss = FocalSparseConv(
                 ch, voxel_stride=2 ** (s - 1), name=f'focal{s}', **fkw)(
                 x, act, batch[f'fl_submap{s}'], batch[f'fl_coords{s}'],
@@ -256,7 +264,8 @@ class VoxelBackBone8xFocal(nn.Module):
         x = SparseConvBNReLU(filters[3], name='down4')(x, down4, a4, training)
         for i in range(2):
             x = SparseConvBNReLU(filters[3], name=f'conv4_subm{i}')(
-                x, batch['fl_submap4'], a4, training)
+                x, batch['fl_submap4'], a4, training,
+                bwd_nbr=bwd(batch['fl_submap4']))
         ms['x_conv4'] = (x, batch['fl_coords4'], a4, 8)
         outmap = batch['fl_outmap']
         ao = jnp.any(gather_bits(a4, outmap), axis=-1) & batch['fl_cmask_out']

@@ -42,15 +42,21 @@ class SeparateHeadSparse(nn.Module):
     head_dict: Any
     init_bias: float = -2.19
 
+    gather_bwd: bool = True
+
     @nn.compact
     def __call__(self, x, submap, mask, training: bool = False) -> dict:
         out = {}
+        gb = training and self.gather_bwd
         for name, spec in self.head_dict.items():
             h = x
             for k in range(int(spec['num_conv']) - 1):
+                # BEV submanifold maps are self-transpose under tap flip:
+                # reuse them as the gather-transpose backward plan
                 h = SparseConvBNReLU(x.shape[-1],
                                      name=f'{name}_conv{k}')(
-                    h, submap, mask, training)
+                    h, submap, mask, training,
+                    bwd_nbr=submap if gb else None)
             bias = self.init_bias if name == 'hm' else 0.0
             h = nn.Dense(int(spec['out_channels']),
                          bias_init=nn.initializers.constant(bias),
@@ -94,9 +100,11 @@ class VoxelNeXtHead(nn.Module):
             return t.at[i].add(f)[:capb]
 
         xb = jax.vmap(scat)(jnp.where(mask_out[..., None], x, 0.0), idx)
+        gb = training and cfg.get('GATHER_BWD', True)
         xb = SparseConvBNReLU(cfg.get('SHARED_CONV_CHANNEL', C),
                               name='shared_conv')(
-            xb, submap, bev_mask, training)
+            xb, submap, bev_mask, training,
+            bwd_nbr=submap if gb else None)
 
         head_order = list(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER)
         head_dict = dict(cfg.SEPARATE_HEAD_CFG.HEAD_DICT)
@@ -106,8 +114,8 @@ class VoxelNeXtHead(nn.Module):
             hd['hm'] = {'out_channels': len(group),
                         'num_conv': cfg.get('NUM_HM_CONV', 2)}
             preds.append(SeparateHeadSparse(
-                head_dict=hd, name=f'head_{gi}')(xb, submap, bev_mask,
-                                                 training))
+                head_dict=hd, gather_bwd=cfg.get('GATHER_BWD', True),
+                name=f'head_{gi}')(xb, submap, bev_mask, training))
         batch['voxelnext_preds'] = preds
         batch['voxelnext_head_order'] = head_order
         return batch

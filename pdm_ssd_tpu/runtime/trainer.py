@@ -44,7 +44,7 @@ def _filter_device_batch(batch: dict) -> dict:
             'camera_imgs', 'trans_lidar_to_cam', 'trans_cam_to_img',
             'depth_maps', 'gt_boxes2d', 'gt_boxes2d_mask'}
     out = {k: v for k, v in batch.items()
-           if k in keep or k.startswith('sp_')}
+           if k in keep or k.startswith('sp_') or k.startswith('fl_')}
     if 'voxels' in out and 'points_mask' in out:
         out.pop('points', None)
         out.pop('points_mask', None)

@@ -219,3 +219,53 @@ def test_second_focal_ship_config_builds():
                         dataset_cfg=cfg.DATA_CONFIG,
                         class_names=cfg.CLASS_NAMES)
     assert net is not None
+
+
+def test_focal_gather_bwd_matches_autodiff(rng):
+    """The focal ladder's submanifold convs use the self-transpose
+    gather backward (`sparse_conv_mm`); gradients must match XLA autodiff
+    (GATHER_BWD on/off) through the dynamic activation-bit masks."""
+    from pdm_ssd_tpu.models import build_network, get_host_prepare
+    from tests.test_sparse_backbone import second_sparse_cfg, ds_cfg_fine
+    from tests.test_detector3d_zoo import make_batch
+    cfg = second_sparse_cfg()
+    cfg['BACKBONE_3D'] = {'NAME': 'VoxelBackBone8xFocal',
+                          'NUM_FILTERS': [4, 8, 8, 8], 'OUT_FEATURES': 8,
+                          'ACTIVE_CAPS': [256, 512, 384, 256, 256],
+                          'FOCAL_ECAPS': [1024, 2048, 1536],
+                          'TOPK': True, 'THRESHOLD': 0.5}
+    ds = ds_cfg_fine()
+    batch = make_batch(rng)
+    B, V = 2, 256
+    dims = sm.ladder_shapes((64, 64, 24))[0]
+    coords = np.stack([random_actives(rng, dims, 120) for _ in range(B)])
+    cpad = np.zeros((B, V, 3), np.int32)
+    cpad[:, :120] = coords
+    vmask = np.zeros((B, V), bool)
+    vmask[:, :120] = True
+    batch.update({
+        'voxels': rng.normal(size=(B, V, 5, 4)).astype(np.float32),
+        'voxel_coords': cpad,
+        'voxel_num_points': np.full((B, V), 5, np.int32),
+        'voxel_mask': vmask})
+    batch = get_host_prepare(cfg, ds)(
+        {k: np.asarray(v) for k, v in batch.items()})
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    grads = {}
+    for gb in (True, False):
+        cfg['BACKBONE_3D']['GATHER_BWD'] = gb
+        model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                              class_names=['Car', 'Pedestrian', 'Cyclist'])
+        variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                               training=False)
+        grads[gb] = jax.grad(lambda p: model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']}, batch,
+            training=True, mutable=['batch_stats'],
+            method=model.forward_with_loss)[0][0])(variables['params'])
+    fa = dict((jax.tree_util.keystr(p), v) for p, v in
+              jax.tree_util.tree_flatten_with_path(grads[False])[0])
+    for path, v in jax.tree_util.tree_flatten_with_path(grads[True])[0]:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(fa[jax.tree_util.keystr(path)]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))

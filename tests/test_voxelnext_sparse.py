@@ -182,3 +182,34 @@ def test_voxelnext_target_nearest_slot(rng):
                                16.2 / 4.0 - 4.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t['target_boxes'])[0, 0, 6],
                                np.cos(0.3), atol=1e-5)
+
+
+def test_voxelnext_gather_bwd_matches_autodiff(rng):
+    """BEV submanifold maps are self-transpose: the head's gather-transpose
+    backward must match XLA autodiff gradients (GATHER_BWD on/off)."""
+    cfg = model_cfg()
+    ds = ds_cfg()
+    batch = make_sparse_batch(rng)
+    # upmaps so the BACKBONE also runs its gather-transpose backward
+    batch = get_host_prepare(cfg, ds, training=True)(batch)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    grads = {}
+    for gb in (True, False):
+        cfg.DENSE_HEAD.GATHER_BWD = gb
+        if not gb:
+            batch = {k: v for k, v in batch.items()
+                     if not k.startswith('sp_upmap')}
+        model = build_network(cfg, num_class=3, dataset_cfg=ds,
+                              class_names=['Car', 'Pedestrian', 'Cyclist'])
+        variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                               training=False)
+        grads[gb] = jax.grad(lambda p: model.apply(
+            {'params': p, 'batch_stats': variables['batch_stats']}, batch,
+            training=True, mutable=['batch_stats'],
+            method=model.forward_with_loss)[0][0])(variables['params'])
+    fa = dict((jax.tree_util.keystr(p), v) for p, v in
+              jax.tree_util.tree_flatten_with_path(grads[False])[0])
+    for path, v in jax.tree_util.tree_flatten_with_path(grads[True])[0]:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(fa[jax.tree_util.keystr(path)]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))
