@@ -53,3 +53,24 @@ def test_draw_scenes_dispatch_without_open3d(tmp_path, monkeypatch):
     pts = np.zeros((10, 4), np.float32)
     ret = draw_scenes(pts, ref_boxes=_boxes(), save_path=str(tmp_path / 'x.png'))
     assert Path(ret).exists()
+
+
+def test_draw_scenes_3d_writes_png(tmp_path):
+    from visual_utils.visualize_utils import draw_scenes_3d, _box_corners_3d
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.uniform(0, 40, (500, 1)),
+                          rng.uniform(-20, 20, (500, 1)),
+                          rng.uniform(-2, 1, (500, 1)),
+                          rng.rand(500, 1)], 1).astype(np.float32)
+    ret = draw_scenes_3d(pts, gt_boxes=_boxes(), ref_boxes=_boxes() + 0.5,
+                         ref_scores=np.array([0.9]),
+                         save_path=str(tmp_path / 's3d.png'))
+    import os
+    assert os.path.exists(ret) and os.path.getsize(ret) > 10000
+    # corner geometry: edges of the axis-aligned unit box have the box dims
+    c8 = _box_corners_3d(np.array([[0, 0, 0, 4.0, 2.0, 1.5, 0.0]]))[0]
+    assert np.allclose(c8.max(0) - c8.min(0), [4.0, 2.0, 1.5])
+    # rotation by pi/2 swaps the BEV extents
+    c8r = _box_corners_3d(np.array([[0, 0, 0, 4.0, 2.0, 1.5,
+                                     np.pi / 2]]))[0]
+    assert np.allclose(c8r.max(0) - c8r.min(0), [2.0, 4.0, 1.5], atol=1e-5)

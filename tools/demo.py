@@ -56,6 +56,11 @@ def main():
                         help='point cloud file or directory')
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--ext', type=str, default='.bin')
+    parser.add_argument('--vis', type=str, default='3d',
+                        choices=['3d', 'bev', 'none'],
+                        help='scene render per frame (matplotlib 3d '
+                             'wireframes / BEV / off); open3d is used '
+                             'automatically when installed')
     parser.add_argument('--save_dir', type=str, default=None,
                         help='dump pred boxes as .npy here')
     args = parser.parse_args()
@@ -102,6 +107,16 @@ def main():
             out.mkdir(parents=True, exist_ok=True)
             np.save(out / f'frame_{idx}_boxes.npy',
                     np.concatenate([boxes[:, :7], scores[:, None], labels[:, None]], axis=1))
+        if args.vis != 'none':
+            sys.path.insert(0, str(REPO / 'tools'))
+            from visual_utils.visualize_utils import draw_scenes
+            pts = np.asarray(batch['points'][0])
+            if 'points_mask' in batch:
+                pts = pts[np.asarray(batch['points_mask'][0])]
+            png = draw_scenes(pts, ref_boxes=boxes[:, :7], ref_scores=scores,
+                              save_path=f'demo_frame_{idx}_{args.vis}.png',
+                              mode=args.vis)
+            logger.info(f'  scene render -> {png}')
     logger.info('Demo done.')
 
 
