@@ -62,20 +62,22 @@ def get_host_prepare(model_cfg, dataset_cfg, training=False):
         caps = list(caps_cfg) if caps_cfg else default_caps(V)
         caps[0] = V        # stage-1 slot table is the input voxel table
         batch = dict(batch)
+        # the UNet decoder consumes sp_upmap{2,3,4} as FORWARD maps, so its
+        # eval batches need them too — the C builder inverts them in-pass
+        # (cheaper than the numpy fallback inversion)
+        want_up = want_bwd or bb.get('NAME') == 'SparseUNetV2'
         batch.update(batch_build_backbone8x(
             np.asarray(batch['voxel_coords']),
             np.asarray(batch['voxel_mask']), grid, caps,
             qwin_corr_cap=qwin_cap, pwin_corr_cap=pwin_cap,
-            want_upmaps=want_bwd))
+            want_upmaps=want_up))
         if want_bev:
             from ..ops.sparse_maps import batch_build_bev, ladder_shapes
             bev_hw = ladder_shapes(grid)[4][1:]
             batch.update(batch_build_bev(batch['sp_coords_out'],
                                          batch['sp_mask_out'], bev_hw))
-        if not want_bwd and bb.get('NAME') == 'SparseUNetV2':
-            # decoder inverse-conv maps = transposed down maps
-            from ..ops.sparse_maps import batch_invert_down_maps
-            batch.update(batch_invert_down_maps(batch, caps))
+        if not want_bwd and 'sp_upmap_out' in batch:
+            batch.pop('sp_upmap_out')     # eval: keep the gbwd gate off
         return batch
     return prepare
 
