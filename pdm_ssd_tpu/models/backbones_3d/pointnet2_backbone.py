@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import dispatch, pointnet2 as p2
@@ -62,7 +63,15 @@ class SAModuleMSG(nn.Module):
     def __call__(self, xyz, features, training: bool = False):
         """xyz: (B, N, 3); features: (B, N, C) or None.
         Returns new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlps[-1]))."""
-        if self.sample_method in ('random', 'prefix'):
+        if self.sample_method == 'random' and self.has_rng('sampling'):
+            # true uniform subsample: fresh permutation per apply. Only taken
+            # when the caller provides a 'sampling' rng; the default path
+            # relies on host-side shuffle_points for uniformity (see class
+            # docstring for the FPS-ordered-input caveat).
+            perm = jax.random.permutation(
+                self.make_rng('sampling'), xyz.shape[1])[:self.npoint]
+            new_xyz = xyz[:, perm]
+        elif self.sample_method in ('random', 'prefix'):
             new_xyz = xyz[:, :self.npoint]
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
@@ -172,7 +181,15 @@ class SAModuleMSGFused(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, training: bool = False):
-        if self.sample_method in ('random', 'prefix'):
+        if self.sample_method == 'random' and self.has_rng('sampling'):
+            # true uniform subsample: fresh permutation per apply. Only taken
+            # when the caller provides a 'sampling' rng; the default path
+            # relies on host-side shuffle_points for uniformity (see class
+            # docstring for the FPS-ordered-input caveat).
+            perm = jax.random.permutation(
+                self.make_rng('sampling'), xyz.shape[1])[:self.npoint]
+            new_xyz = xyz[:, perm]
+        elif self.sample_method in ('random', 'prefix'):
             new_xyz = xyz[:, :self.npoint]
         else:
             fps_idx = dispatch.farthest_point_sample(xyz, self.npoint)
@@ -248,6 +265,17 @@ class PointNet2MSG(nn.Module):
             # npoint duplicated picks. Guard at trace time.
             npoint_fits = sa_cfg.NPOINTS[k] <= l_xyz[k].shape[1]
             if method == 'fps' and fps_ordered and prefix_ok and npoint_fits:
+                method = 'prefix'
+            if method == 'random' and fps_ordered and \
+                    not self.has_rng('sampling'):
+                # without an rng, prefix-of-FPS-order is NOT uniform — name
+                # the path honestly and say so (ADVICE r3)
+                import warnings
+                warnings.warn(
+                    f"SA level {k}: SAMPLE_METHOD 'random' on an FPS-ordered "
+                    "input degenerates to a deterministic FPS prefix; pass a "
+                    "'sampling' rng to model.apply for true uniform sampling "
+                    "(using 'prefix' semantics).", stacklevel=2)
                 method = 'prefix'
             if method == 'random' and not npoint_fits:
                 raise ValueError(

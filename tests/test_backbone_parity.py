@@ -23,7 +23,15 @@ import ref_oracle
 import ref_pointnet2_shim
 
 ref_oracle.install()
-ref_pointnet2_shim.install()
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _pointnet2_shim():
+    """Scope the torch.cuda.*Tensor monkeypatch (ref_pointnet2_shim:install)
+    to this module instead of leaking it process-wide (ADVICE r3)."""
+    ref_pointnet2_shim.install()
+    yield
+    ref_pointnet2_shim.uninstall()
 
 from pdm_ssd_tpu.utils.config import CfgNode
 

@@ -85,3 +85,61 @@ class TestBackbonePrefixElision:
         np.testing.assert_array_equal(out_on['point_features'], out_off['point_features'])
         for a, b in zip(out_on['sa_xyz'], out_off['sa_xyz']):
             np.testing.assert_array_equal(a, b)
+
+
+class TestRandomSampling:
+    """'random' sampling semantics (ADVICE r3): with a 'sampling' rng the SA
+    module draws a true uniform permutation; without one, 'random' after an
+    FPS-ordered level warns and degrades to the deterministic prefix."""
+
+    def _module(self):
+        from pdm_ssd_tpu.models.backbones_3d.pointnet2_backbone import \
+            SAModuleMSG
+        return SAModuleMSG(npoint=16, radii=[0.8], nsamples=[8],
+                           mlps=[[8, 8]], sample_method='random')
+
+    def test_sampling_rng_draws_uniform_permutation(self):
+        rng = np.random.RandomState(3)
+        xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        mod = self._module()
+        params = mod.init({'params': jax.random.PRNGKey(0),
+                           'sampling': jax.random.PRNGKey(1)}, xyz, None)
+        picks = []
+        for seed in (1, 2):
+            new_xyz, _ = mod.apply(params, xyz, None,
+                                   rngs={'sampling': jax.random.PRNGKey(seed)})
+            # every sampled center is a row of the input, no duplicates
+            d = np.linalg.norm(np.asarray(new_xyz)[:, :, None]
+                               - np.asarray(xyz)[:, None], axis=-1)
+            src = d.argmin(-1)
+            assert (d.min(-1) < 1e-6).all()
+            assert all(len(set(r)) == len(r) for r in src)
+            picks.append(src)
+        assert not np.array_equal(picks[0], picks[1]), \
+            'different sampling keys must draw different subsets'
+
+    def test_no_rng_falls_back_to_prefix(self):
+        rng = np.random.RandomState(4)
+        xyz = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        mod = self._module()
+        params = mod.init(jax.random.PRNGKey(0), xyz, None)
+        new_xyz, _ = mod.apply(params, xyz, None)
+        np.testing.assert_allclose(np.asarray(new_xyz),
+                                   np.asarray(xyz)[:, :16])
+
+    def test_backbone_warns_on_fps_ordered_random(self):
+        import warnings as _w
+        from pdm_ssd_tpu.models.backbones_3d.pointnet2_backbone import \
+            PointNet2MSG
+        from pdm_ssd_tpu.utils.config import CfgNode
+        cfg = CfgNode({'SA_CONFIG': {
+            'NPOINTS': [32, 16], 'RADIUS': [[0.8], [1.6]],
+            'NSAMPLE': [[8], [8]], 'MLPS': [[[8]], [[8]]],
+            'SAMPLE_METHOD': ['fps', 'random']}, 'FP_MLPS': []})
+        net = PointNet2MSG(model_cfg=cfg, input_channels=3)
+        pts = jnp.asarray(np.random.RandomState(5).randn(1, 64, 4),
+                          jnp.float32)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter('always')
+            net.init(jax.random.PRNGKey(0), {'points': pts})
+        assert any('deterministic FPS prefix' in str(w.message) for w in rec)

@@ -26,8 +26,15 @@ import ref_pointnet2_shim
 import ref_cuda_shims
 
 ref_oracle.install()
-ref_pointnet2_shim.install()
-ref_cuda_shims.install()
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _cuda_shims():
+    """Module-scoped torch.cuda monkeypatch (see test_backbone_parity)."""
+    ref_pointnet2_shim.install()
+    ref_cuda_shims.install()
+    yield
+    ref_pointnet2_shim.uninstall()
 
 from pdm_ssd_tpu.utils.config import CfgNode
 from pdm_ssd_tpu.models import build_network

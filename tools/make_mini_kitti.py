@@ -18,9 +18,12 @@ sys.path.insert(0, str(REPO))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--root', default=str(REPO / 'data/kitti'))
-    ap.add_argument('--frames', type=int, default=6)
+    ap.add_argument('--frames', type=int, default=64)
     ap.add_argument('--n_bg', type=int, default=8000)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--classes', default='Car,Pedestrian,Cyclist',
+                    help='comma list; a single class reproduces the old '
+                         'Car-only fixed-difficulty regime')
     args = ap.parse_args()
 
     import jax
@@ -33,7 +36,8 @@ def main():
     root = Path(args.root)
     if root.exists():
         shutil.rmtree(root)
-    make_mini_kitti(root, n_frames=args.frames, seed=args.seed, n_bg=args.n_bg)
+    make_mini_kitti(root, n_frames=args.frames, seed=args.seed,
+                    n_bg=args.n_bg, classes=tuple(args.classes.split(',')))
 
     ds_cfg = cfg_from_yaml_file(
         str(REPO / 'configs/dataset_configs/kitti_dataset.yaml'), CfgNode())
