@@ -346,3 +346,25 @@ def _map_pyramid_points(pts, src_pyr, dst_pyr):
           + vv[:, None] * (base_d[3] - base_d[0]))
     out[:, 0:3] = apex_d + t[:, None] * (qd - apex_d)
     return out
+
+
+def random_image_flip_horizontal(image, depth_map, gt_boxes, calib):
+    """Image-space horizontal flip with 3D boxes flipped by mirroring their
+    centroids through the image (`augmentor_utils.py:113-150`): project
+    centers to the image, mirror u, back-project at the same depth, negate
+    heading."""
+    enable = np.random.choice([False, True], p=[0.5, 0.5])
+    if not enable:
+        return image, depth_map, gt_boxes, enable
+    aug_image = np.fliplr(image)
+    aug_depth_map = np.fliplr(depth_map) if depth_map is not None else None
+    aug_gt_boxes = gt_boxes.copy()
+    if len(aug_gt_boxes):
+        img_pts, img_depth = calib.lidar_to_img(aug_gt_boxes[:, :3])
+        W = image.shape[1]
+        img_pts[:, 0] = W - img_pts[:, 0]
+        pts_rect = calib.img_to_rect(u=img_pts[:, 0], v=img_pts[:, 1],
+                                     depth_rect=img_depth)
+        aug_gt_boxes[:, :3] = calib.rect_to_lidar(pts_rect)
+        aug_gt_boxes[:, 6] = -1 * aug_gt_boxes[:, 6]
+    return aug_image, aug_depth_map, aug_gt_boxes, enable

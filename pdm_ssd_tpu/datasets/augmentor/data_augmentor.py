@@ -49,6 +49,23 @@ class DataAugmentor(object):
         return DataBaseSampler(root_path=self.root_path, sampler_cfg=config,
                                class_names=self.class_names, logger=self.logger)
 
+    @staticmethod
+    def _roi_boxes_flip(roi_boxes, axis):
+        """Apply an (enabled) world flip to per-frame offline proposal boxes
+        (T, R, 9); zero-padded slots stay zero (reference
+        `data_augmentor.py:66-71`)."""
+        if axis == 'x':
+            roi_boxes[..., 1] = -roi_boxes[..., 1]
+            roi_boxes[..., 6] = -roi_boxes[..., 6]
+            if roi_boxes.shape[-1] > 8:
+                roi_boxes[..., 8] = -roi_boxes[..., 8]
+        else:
+            roi_boxes[..., 0] = -roi_boxes[..., 0]
+            roi_boxes[..., 6] = -(roi_boxes[..., 6] + np.pi)
+            if roi_boxes.shape[-1] > 7:
+                roi_boxes[..., 7] = -roi_boxes[..., 7]
+        return roi_boxes
+
     def random_world_flip(self, data_dict=None, config=None):
         if data_dict is None:
             return partial(self.random_world_flip, config=config)
@@ -58,6 +75,9 @@ class DataAugmentor(object):
             gt_boxes, points, enable = getattr(
                 augmentor_utils, f'random_flip_along_{cur_axis}')(gt_boxes, points)
             data_dict[f'flip_{cur_axis}'] = enable
+            if enable and 'roi_boxes' in data_dict:
+                data_dict['roi_boxes'] = self._roi_boxes_flip(
+                    data_dict['roi_boxes'], cur_axis)
         data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
         return data_dict
 
@@ -69,6 +89,18 @@ class DataAugmentor(object):
             rot_range = [-rot_range, rot_range]
         gt_boxes, points, noise_rot = augmentor_utils.global_rotation(
             data_dict['gt_boxes'], data_dict['points'], rot_range=rot_range)
+        if 'roi_boxes' in data_dict:
+            rb = data_dict['roi_boxes']
+            flat = rb.reshape(-1, rb.shape[-1]).copy()
+            flat[:, 0:3] = augmentor_utils.rotate_points_along_z_np(
+                flat[:, 0:3], noise_rot)
+            flat[:, 6] += noise_rot
+            if flat.shape[-1] > 7:
+                vel = np.concatenate(
+                    [flat[:, 7:9], np.zeros((len(flat), 1))], axis=1)
+                flat[:, 7:9] = augmentor_utils.rotate_points_along_z_np(
+                    vel, noise_rot)[:, 0:2]
+            data_dict['roi_boxes'] = flat.reshape(rb.shape)
         data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
         data_dict['noise_rot'] = noise_rot
         return data_dict
@@ -78,8 +110,52 @@ class DataAugmentor(object):
             return partial(self.random_world_scaling, config=config)
         gt_boxes, points, noise_scale = augmentor_utils.global_scaling(
             data_dict['gt_boxes'], data_dict['points'], config.WORLD_SCALE_RANGE)
+        if 'roi_boxes' in data_dict:
+            # geometry + velocity channels scale; heading (col 6) does not
+            # (reference `augmentor_utils.py:94-110`)
+            data_dict['roi_boxes'][..., [0, 1, 2, 3, 4, 5, 7, 8]] *= noise_scale
         data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
         data_dict['noise_scale'] = noise_scale
+        return data_dict
+
+    def random_image_flip(self, data_dict=None, config=None):
+        """KITTI camera-path image flip (CaDDN): flips images + depth maps
+        and mirrors 3D boxes through the image plane (reference
+        `data_augmentor.py:116-134`)."""
+        if data_dict is None:
+            return partial(self.random_image_flip, config=config)
+        for cur_axis in config.ALONG_AXIS_LIST:
+            assert cur_axis == 'horizontal'
+            image, depth, gt_boxes, enable = \
+                augmentor_utils.random_image_flip_horizontal(
+                    data_dict['images'], data_dict.get('depth_maps'),
+                    data_dict['gt_boxes'], data_dict['calib'])
+            data_dict['images'] = image
+            if depth is not None:
+                data_dict['depth_maps'] = depth
+            data_dict['gt_boxes'] = gt_boxes
+            data_dict['image_flip'] = enable
+        return data_dict
+
+    def imgaug(self, data_dict=None, config=None):
+        """Camera-image flip + rotation on the PIL images, recorded into
+        `img_process_infos` so `image_calibrate` folds them into the
+        img_aug_matrix (reference `data_augmentor.py:268-289`)."""
+        if data_dict is None:
+            return partial(self.imgaug, config=config)
+        from PIL import Image
+        new_imgs = []
+        for img, info in zip(data_dict['camera_imgs'],
+                             data_dict['img_process_infos']):
+            flip = bool(config.RAND_FLIP and np.random.choice([0, 1]))
+            rotate = float(np.random.uniform(*config.ROT_LIM))
+            if flip:
+                img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
+            img = img.rotate(rotate)
+            info[2] = flip
+            info[3] = rotate
+            new_imgs.append(img)
+        data_dict['camera_imgs'] = new_imgs
         return data_dict
 
     def random_world_translation(self, data_dict=None, config=None):
@@ -88,6 +164,7 @@ class DataAugmentor(object):
         gt_boxes, points, noise = augmentor_utils.global_translation(
             data_dict['gt_boxes'], data_dict['points'], config.NOISE_TRANSLATE_STD)
         data_dict['gt_boxes'], data_dict['points'] = gt_boxes, points
+        data_dict['noise_translate'] = noise
         return data_dict
 
     def random_local_translation(self, data_dict=None, config=None):

@@ -57,6 +57,27 @@ class DatasetTemplate(object):
     def __len__(self):
         raise NotImplementedError
 
+    @staticmethod
+    def set_lidar_aug_matrix(data_dict):
+        """Accumulated world-aug transform as a 4x4 (used to recover original
+        point coordinates, e.g. for camera-depth projection; reference
+        `dataset.py:134-156`)."""
+        m = np.eye(4)
+        if data_dict.get('flip_x', False):
+            m[:3, :3] = np.diag([1., -1., 1.]) @ m[:3, :3]
+        if data_dict.get('flip_y', False):
+            m[:3, :3] = np.diag([-1., 1., 1.]) @ m[:3, :3]
+        if 'noise_rot' in data_dict:
+            a = data_dict['noise_rot']
+            c, s = np.cos(a), np.sin(a)
+            m[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]]) @ m[:3, :3]
+        if 'noise_scale' in data_dict:
+            m[:3, :3] *= data_dict['noise_scale']
+        if 'noise_translate' in data_dict:
+            m[:3, 3] = np.asarray(data_dict['noise_translate']).reshape(3)
+        data_dict['lidar_aug_matrix'] = m.astype(np.float32)
+        return data_dict
+
     def prepare_data(self, data_dict):
         """(`dataset.py:158-218`.) Returns None when training and augmentation
         leaves zero GT (caller resamples another index)."""
@@ -64,6 +85,7 @@ class DatasetTemplate(object):
             assert 'gt_boxes' in data_dict, 'gt_boxes should be provided for training'
             if self.data_augmentor is not None:
                 data_dict = self.data_augmentor.forward(data_dict)
+        data_dict = self.set_lidar_aug_matrix(data_dict)
 
         if data_dict.get('gt_boxes', None) is not None:
             selected = np.array(

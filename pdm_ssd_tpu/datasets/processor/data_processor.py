@@ -165,6 +165,90 @@ class DataProcessor:
             return dd
         return step
 
+    def _build_image_normalize(self, cfg):
+        """`data_processor.py:233-245`: PIL camera images -> normalized
+        float array. Channels-last (N_cam, H, W, 3) instead of the
+        reference's list of CHW tensors — the TPU image stack is NHWC."""
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
+
+        def step(dd):
+            imgs = dd.get('camera_imgs')
+            if imgs is None:
+                return dd
+            arrs = [(np.asarray(im, np.float32) / 255.0 - mean) / std
+                    for im in imgs]
+            dd['camera_imgs'] = np.stack(arrs).astype(np.float32)
+            return dd
+        return step
+
+    def _build_image_calibrate(self, cfg):
+        """`data_processor.py:247-281`: fold each image's recorded
+        resize/crop/flip/rotate (`img_process_infos`) into a 4x4
+        post-homography `img_aug_matrix` consumed by DepthLSSTransform."""
+        def step(dd):
+            infos = dd.get('img_process_infos')
+            if infos is None:
+                return dd
+            transforms = []
+            for resize, crop, flip, rotate in infos:
+                rot = np.eye(2) * resize
+                tra = -np.asarray(crop[:2], np.float64)
+                if flip:
+                    A = np.array([[-1.0, 0.0], [0.0, 1.0]])
+                    b = np.array([crop[2] - crop[0], 0.0])
+                    rot = A @ rot
+                    tra = A @ tra + b
+                theta = rotate / 180.0 * np.pi
+                A = np.array([[np.cos(theta), np.sin(theta)],
+                              [-np.sin(theta), np.cos(theta)]])
+                b = np.array([crop[2] - crop[0], crop[3] - crop[1]]) / 2.0
+                b = A @ (-b) + b
+                rot = A @ rot
+                tra = A @ tra + b
+                tf = np.eye(4, dtype=np.float32)
+                tf[:2, :2] = rot
+                tf[:2, 3] = tra
+                transforms.append(tf)
+            dd['img_aug_matrix'] = np.stack(transforms)
+            return dd
+        return step
+
+    def _build_generate_camera_depth(self, cfg):
+        """Sparse per-camera lidar depth maps, host-side: inverse-lidar-aug
+        the points, project through lidar2image, then the recorded image aug
+        — the same chain the reference runs in-model
+        (`view_transforms/depth_lss.py:206-243`), moved to the host so the
+        device graph stays fixed-shape. Output 'camera_depth'
+        (N_cam, iH, iW, 1)."""
+        iH, iW = (int(v) for v in cfg.IMAGE_DIM)
+
+        def step(dd):
+            if 'lidar2image' not in dd:
+                return dd
+            pts = dd['points'][:, :3].astype(np.float64)
+            la = dd.get('lidar_aug_matrix', np.eye(4))
+            pts = (pts - la[:3, 3]) @ np.linalg.inv(la[:3, :3]).T
+            l2i = dd['lidar2image']                       # (N_cam, 4, 4)
+            aug = dd.get('img_aug_matrix',
+                         np.broadcast_to(np.eye(4), l2i.shape))
+            n_cam = l2i.shape[0]
+            depth = np.zeros((n_cam, iH, iW, 1), np.float32)
+            hom = np.concatenate([pts, np.ones((len(pts), 1))], -1)
+            for c in range(n_cam):
+                uvw = hom @ l2i[c].T                      # (N, 4)
+                dist = uvw[:, 2]
+                w = np.clip(uvw[:, 2], 1e-5, 1e5)
+                coords = np.stack([uvw[:, 0] / w, uvw[:, 1] / w,
+                                   np.ones_like(w)], -1)
+                coords = coords @ aug[c][:3, :3].T + aug[c][:3, 3]
+                u, v = coords[:, 0], coords[:, 1]
+                on = (u >= 0) & (u < iW) & (v >= 0) & (v < iH) & (dist > 0)
+                depth[c, v[on].astype(int), u[on].astype(int), 0] = dist[on]
+            dd['camera_depth'] = depth
+            return dd
+        return step
+
     def _native_voxelize(self, points, vs, max_pts, max_voxels):
         try:
             from ...csrc import voxelize

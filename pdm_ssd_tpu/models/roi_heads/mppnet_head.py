@@ -141,6 +141,25 @@ class MPPNetHead(RoIHeadTemplate):
     def _hp(self):
         return self._hp_from_cfg(self.model_cfg)
 
+    def proposal_layer(self, batch: dict, training: bool) -> dict:
+        """Offline-proposal mode (USE_PREDBOX): when the dataset ships
+        per-frame stage-1 boxes as `roi_boxes` (B, T, R, 9) + scores/labels,
+        frame 0 becomes the current rois (velocity kept aside as `roi_vel`)
+        and the full stack feeds trajectory matching — stage-1 NMS is
+        skipped entirely (reference `mppnet_head.py` consumes
+        `batch_dict['roi_boxes']` the same way). Otherwise falls back to the
+        standard NMS proposal layer."""
+        rb = batch.get('roi_boxes')
+        if rb is not None and getattr(rb, 'ndim', 0) == 4:
+            batch['rois'] = rb[:, 0, :, :7]
+            batch['roi_vel'] = rb[:, 0, :, 7:9]
+            batch['roi_scores'] = batch['roi_scores'][:, 0]
+            batch['roi_labels'] = batch['roi_labels'][:, 0].astype(jnp.int32)
+            batch['roi_mask'] = (rb[:, 0, :, 3:6] > 0).all(-1)
+            batch['proposals_multi_frame'] = rb
+            return batch
+        return super().proposal_layer(batch, training)
+
     @staticmethod
     def _hp_from_cfg(model_cfg):
         cfg = as_cfg(model_cfg)
@@ -244,8 +263,11 @@ class MPPNetHead(RoIHeadTemplate):
         else:
             frames = batch['points_multi_frame']              # (B, T, N, 3+F)
             assert frames.shape[1] >= T
+            rois_tv = rois if 'roi_vel' not in batch else jnp.concatenate(
+                [rois[..., :7], batch['roi_vel']], axis=-1)
             traj, tvalid = self.generate_trajectory(
-                rois, batch.get('roi_mask'), batch.get('proposals_multi_frame'))
+                rois_tv, batch.get('roi_mask'),
+                batch.get('proposals_multi_frame'))
         batch['trajectory_rois'], batch['trajectory_valid'] = traj, tvalid
 
         diag = jnp.linalg.norm(traj[..., 3:6], axis=-1)   # (B, T, R)

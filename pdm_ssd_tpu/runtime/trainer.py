@@ -42,7 +42,13 @@ def _filter_device_batch(batch: dict) -> dict:
     keep = {'points', 'points_mask', 'gt_boxes', 'gt_mask',
             'voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask',
             'camera_imgs', 'trans_lidar_to_cam', 'trans_cam_to_img',
-            'depth_maps', 'gt_boxes2d', 'gt_boxes2d_mask'}
+            'depth_maps', 'gt_boxes2d', 'gt_boxes2d_mask',
+            # nuScenes camera branch (BEVFusion)
+            'camera_depth', 'camera2lidar', 'camera_intrinsics',
+            'lidar2image', 'img_aug_matrix', 'lidar_aug_matrix',
+            # multi-frame sequence keys (Waymo SEQUENCE_CONFIG / MPPNet)
+            'points_multi_frame', 'poses',
+            'roi_boxes', 'roi_scores', 'roi_labels'}
     out = {k: v for k, v in batch.items()
            if k in keep or k.startswith('sp_') or k.startswith('fl_')}
     if 'voxels' in out and 'points_mask' in out:
