@@ -191,6 +191,18 @@ class NuScenesDataset(DatasetTemplate):
         data_dict = self.prepare_data(data_dict=input_dict)
         if data_dict is None:
             return self.__getitem__(np.random.randint(len(self)))
+        if self.dataset_cfg.get('SET_NAN_VELOCITY_TO_ZEROS', False) \
+                and 'gt_boxes' in data_dict:
+            gt = data_dict['gt_boxes']
+            gt[np.isnan(gt)] = 0
+            data_dict['gt_boxes'] = gt
+        if not self.dataset_cfg.get('PRED_VELOCITY', False) \
+                and 'gt_boxes' in data_dict \
+                and data_dict['gt_boxes'].shape[-1] > 8:
+            # drop the velocity columns, keep [x..heading, class]
+            # (reference `nuscenes_dataset.py:251-252`)
+            data_dict['gt_boxes'] = data_dict['gt_boxes'][
+                :, [0, 1, 2, 3, 4, 5, 6, -1]]
         return data_dict
 
     @staticmethod

@@ -81,13 +81,17 @@ class NuScenesTables:
                      'sensor']:
             recs = json.loads((tdir / f'{name}.json').read_text())
             self.t[name] = {r['token']: r for r in recs}
-        # sample -> LIDAR_TOP sample_data (key frames)
+        # sample -> LIDAR_TOP sample_data (key frames); sample -> CAM_* ones
         self.lidar_of_sample = {}
+        self.cams_of_sample = {}
         for sd in self.t['sample_data'].values():
             cs = self.t['calibrated_sensor'][sd['calibrated_sensor_token']]
             sensor = self.t['sensor'][cs['sensor_token']]
             if sensor['channel'] == 'LIDAR_TOP' and sd['is_key_frame']:
                 self.lidar_of_sample[sd['sample_token']] = sd
+            elif sensor['channel'].startswith('CAM') and sd['is_key_frame']:
+                self.cams_of_sample.setdefault(
+                    sd['sample_token'], {})[sensor['channel']] = sd
         # sample -> annotations
         self.anns_of_sample = {}
         for a in self.t['sample_annotation'].values():
@@ -162,10 +166,28 @@ def fill_infos(tables: NuScenesTables, scene_names, max_sweeps: int = 10):
                 boxes.append([*ctr[:3], l, w, h, yaw_g - ref_yaw, *vel])
                 names.append(name)
 
+            # per-camera transforms (role of the devkit's obtain_sensor2top
+            # for the 6 CAM channels; consumed by `load_camera_info`)
+            cams = {}
+            for chan, cam_sd in tables.cams_of_sample.get(tok, {}).items():
+                cs = tables.t['calibrated_sensor'][
+                    cam_sd['calibrated_sensor_token']]
+                cam2lidar = ref_from_g @ tables.global_from_sensor(cam_sd)
+                cams[chan] = {
+                    'data_path': cam_sd['filename'],
+                    'camera_intrinsics': np.asarray(
+                        cs['camera_intrinsic'], np.float32),
+                    'sensor2ego_rotation': cs['rotation'],
+                    'sensor2ego_translation': cs['translation'],
+                    'sensor2lidar_rotation': cam2lidar[:3, :3],
+                    'sensor2lidar_translation': cam2lidar[:3, 3],
+                }
+
             infos.append({
                 'token': tok,
                 'lidar_path': sd['filename'],
                 'sweeps': sweeps,
+                'cams': cams,
                 'timestamp': ref_time,
                 'gt_boxes': np.asarray(boxes, np.float32).reshape(-1, 9),
                 'gt_names': np.asarray(names),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,9 +59,21 @@ class SwinBlock(nn.Module):
     num_heads: int
     window: int
     shift: int
+    drop_path: float = 0.0
+
+    def _drop_path(self, x, training):
+        """Stochastic depth on the residual branch (reference swin_utils
+        DropPath): per-sample Bernoulli keep, rescaled. Identity at eval or
+        when no 'dropout' rng is provided."""
+        if not training or self.drop_path <= 0 or not self.has_rng('dropout'):
+            return x
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng('dropout'), keep,
+                                    (x.shape[0], 1, 1, 1))
+        return x * mask.astype(x.dtype) / keep
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         """x: (B, H, W, C); H, W are window multiples."""
         B, H, W, C = x.shape
         w = self.window
@@ -94,17 +107,22 @@ class SwinBlock(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
         if self.shift:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x
+        x = shortcut + self._drop_path(x, training)
 
         h = nn.LayerNorm(name='ln2')(x)
         h = nn.Dense(4 * self.dim, name='mlp1')(h)
         h = nn.gelu(h)
-        return x + nn.Dense(self.dim, name='mlp2')(h)
+        h = nn.Dense(self.dim, name='mlp2')(h)
+        return x + self._drop_path(h, training)
 
 
 class SwinTransformer(nn.Module):
-    """Config: EMBED_DIM, DEPTHS (per stage), NUM_HEADS (per stage),
-    WINDOW_SIZE, PATCH_SIZE, OUT_CHANNEL (FPN-fused 1/8-level output)."""
+    """Config: EMBED_DIM, DEPTHS (per stage, e.g. the reference-scope
+    [2, 2, 6, 2]), NUM_HEADS (per stage), WINDOW_SIZE, PATCH_SIZE,
+    DROP_PATH_RATE (stochastic depth, linearly increasing over blocks),
+    and either OUT_CHANNEL (folded 2-level FPN fuse, single /8 output — the
+    compact default) or RETURN_PYRAMID + OUT_INDICES (multi-scale stage
+    outputs for a standalone neck such as `GeneralizedLSSFPN`)."""
     model_cfg: Any
 
     @property
@@ -121,6 +139,10 @@ class SwinTransformer(nn.Module):
         win = int(cfg.get('WINDOW_SIZE', 4))
         patch = int(cfg.get('PATCH_SIZE', 2))
 
+        drop_path_rate = float(cfg.get('DROP_PATH_RATE', 0.0))
+        total_blocks = max(sum(depths), 1)
+        dpr = np.linspace(0, drop_path_rate, total_blocks)
+
         B, N, H, W, _ = images.shape
         x = images.reshape(B * N, H, W, 3)
         x = nn.Conv(embed, (patch, patch), strides=(patch, patch),
@@ -129,6 +151,7 @@ class SwinTransformer(nn.Module):
 
         feats = []
         dim = embed
+        blk = 0
         for si, (depth, nh) in enumerate(zip(depths, heads)):
             # pad to window multiples
             _, h_, w_, _ = x.shape
@@ -137,7 +160,9 @@ class SwinTransformer(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             for bi in range(depth):
                 x = SwinBlock(dim, nh, win, (win // 2) if bi % 2 else 0,
-                              name=f's{si}_b{bi}')(x)
+                              drop_path=float(dpr[blk]),
+                              name=f's{si}_b{bi}')(x, training=training)
+                blk += 1
             x = x[:, :h_, :w_]
             feats.append(x)
             if si < len(depths) - 1:
@@ -151,6 +176,13 @@ class SwinTransformer(nn.Module):
                 dim *= 2
                 x = nn.Dense(dim, name=f'merge{si}')(nn.LayerNorm(
                     name=f'merge_ln{si}')(x))
+
+        if cfg.get('RETURN_PYRAMID', False):
+            # multi-scale stage outputs for a standalone neck
+            out_idx = [int(i) for i in
+                       cfg.get('OUT_INDICES', range(len(depths)))]
+            return [feats[i].reshape(B, N, *feats[i].shape[1:])
+                    for i in out_idx]
 
         # FPN fusion, output at the deepest (1/8) level: the finer stage's
         # lateral is pooled down and added (patch 2 * 2 merges -> /8)

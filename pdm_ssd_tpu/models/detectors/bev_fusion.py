@@ -20,7 +20,8 @@ from ...utils.config import as_cfg
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import PointPillarScatter
 from ..backbones_3d.vfe import PillarVFE
-from ..backbones_image import ConvFuser, ConvImageBackbone, SwinTransformer
+from ..backbones_image import (ConvFuser, ConvImageBackbone,
+                               GeneralizedLSSFPN, SwinTransformer)
 from ..dense_heads.center_head import CenterHead
 from ..view_transforms.depth_lss import DepthLSSTransform
 from .detector3d import Detector3D, _grid_info
@@ -41,6 +42,11 @@ class BevFusion(Detector3D):
             self.image_backbone = SwinTransformer(model_cfg=cfg.IMAGE_BACKBONE)
         else:
             self.image_backbone = ConvImageBackbone(model_cfg=cfg.IMAGE_BACKBONE)
+        # standalone neck (reference `GeneralizedLSSFPN`): the backbone then
+        # returns its multi-scale pyramid (RETURN_PYRAMID) and the neck's
+        # finest output level feeds the view transform
+        self.neck = GeneralizedLSSFPN(model_cfg=cfg.NECK) \
+            if cfg.get('NECK') is not None else None
         self.view_transform = DepthLSSTransform(model_cfg=cfg.VTRANSFORM)
         self.vfe = PillarVFE(model_cfg=cfg.VFE, num_point_features=num_pf,
                              voxel_size=voxel, point_cloud_range=pc_range)
@@ -65,6 +71,8 @@ class BevFusion(Detector3D):
         batch = dict(batch)
         # camera branch
         feats = self.image_backbone(batch['camera_imgs'], training=training)
+        if self.neck is not None:
+            feats = self.neck(feats, training=training)[0]
         batch['camera_feats'] = feats
         batch = self.view_transform(batch, training=training)
         camera_bev = batch['spatial_features']

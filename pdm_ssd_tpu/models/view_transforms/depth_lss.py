@@ -77,7 +77,8 @@ class DepthLSSTransform(nn.Module):
         feats = batch['camera_feats']                      # (B, N, fH, fW, Cin)
         depth = batch['camera_depth']                      # (B, N, iH, iW, 1)
         c2l = batch['camera2lidar']                        # (B, N, 4, 4)
-        intr = batch['camera_intrinsics']                  # (B, N, 3, 3)
+        intr = batch['camera_intrinsics']                  # (B, N, 3|4, 3|4)
+        intr = intr[..., :3, :3]   # dataset ships 4x4 homogeneous intrinsics
         B, N, fH, fW, Cin = feats.shape
         C = cfg.OUT_CHANNEL
         frustum = jnp.asarray(self._frustum())

@@ -217,3 +217,116 @@ def test_swin_transformer_backbone():
         {'params': p}, imgs) ** 2))(v['params'])
     total = sum(np.abs(np.asarray(x)).sum() for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_swin_4stage_pyramid_droppath_and_lss_fpn():
+    """Reference-scope Swin shape: 4 config-driven stages with stochastic
+    depth, multi-scale pyramid outputs (RETURN_PYRAMID/OUT_INDICES), and the
+    standalone GeneralizedLSSFPN neck (reference
+    `backbones_image/swin.py` + `img_neck/generalized_lss.py`)."""
+    from pdm_ssd_tpu.models.backbones_image import (SwinTransformer,
+                                                    GeneralizedLSSFPN)
+    rng = np.random.RandomState(9)
+    imgs = jnp.asarray(rng.rand(1, 2, 64, 96, 3), jnp.float32)
+    bb = SwinTransformer(model_cfg=CfgNode({
+        'EMBED_DIM': 8, 'DEPTHS': [1, 1, 2, 1], 'NUM_HEADS': [1, 2, 4, 8],
+        'WINDOW_SIZE': 4, 'PATCH_SIZE': 4, 'DROP_PATH_RATE': 0.3,
+        'RETURN_PYRAMID': True, 'OUT_INDICES': [1, 2, 3]}))
+    v = bb.init(jax.random.PRNGKey(0), imgs)
+    feats = bb.apply(v, imgs)
+    # patch 4 -> /4 base; out indices 1..3 -> /8, /16, /32
+    assert [tuple(f.shape) for f in feats] == [
+        (1, 2, 8, 12, 16), (1, 2, 4, 6, 32), (1, 2, 2, 3, 64)]
+
+    # drop_path: stochastic across dropout rngs in training (deepest level,
+    # where the linearly-increasing rate is largest; several key pairs since
+    # per-sample Bernoulli masks can coincide), deterministic at eval
+    bb_dp = SwinTransformer(model_cfg=CfgNode({
+        'EMBED_DIM': 8, 'DEPTHS': [1, 1, 2, 1], 'NUM_HEADS': [1, 2, 4, 8],
+        'WINDOW_SIZE': 4, 'PATCH_SIZE': 4, 'DROP_PATH_RATE': 0.9,
+        'RETURN_PYRAMID': True, 'OUT_INDICES': [1, 2, 3]}))
+    outs = [np.asarray(bb_dp.apply(v, imgs, training=True,
+                                   rngs={'dropout': jax.random.PRNGKey(k)}
+                                   )[-1]) for k in range(4)]
+    assert any(not np.allclose(outs[0], o) for o in outs[1:]), \
+        'drop_path inert in training mode'
+    e1 = bb.apply(v, imgs)
+    e2 = bb.apply(v, imgs)
+    np.testing.assert_array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
+
+    fpn = GeneralizedLSSFPN(model_cfg=CfgNode({
+        'IN_CHANNELS': [16, 32, 64], 'OUT_CHANNELS': 24, 'NUM_OUTS': 2,
+        'START_LEVEL': 0, 'END_LEVEL': -1}))
+    fv = fpn.init(jax.random.PRNGKey(1), feats)
+    outs, _ = fpn.apply(fv, feats, training=True, mutable=['batch_stats'])
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 2, 8, 12, 24), (1, 2, 4, 6, 24)]
+    # top-down flow: perturbing the coarsest input changes the finest output
+    feats2 = [feats[0], feats[1], feats[2] + 1.0]
+    outs2 = fpn.apply(fv, feats2)
+    assert not np.allclose(np.asarray(outs2[0]), np.asarray(outs[0] if not
+                           isinstance(outs, tuple) else outs[0]))
+
+
+def test_bevfusion_swin_neck_e2e():
+    """BEVFusion assembled with the 4-stage Swin + GeneralizedLSSFPN neck
+    (the reference bevfusion.yaml topology), forward + loss + predict."""
+    from pdm_ssd_tpu.models import build_network
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_detector3d_zoo import ds_cfg_voxel, make_batch, centerpoint_cfg
+
+    head = centerpoint_cfg().DENSE_HEAD
+    head.TARGET_ASSIGNER_CONFIG.FEATURE_MAP_STRIDE = 1
+    cfg = CfgNode({
+        'NAME': 'BevFusion',
+        'IMAGE_BACKBONE': {
+            'NAME': 'SwinTransformer', 'EMBED_DIM': 8,
+            'DEPTHS': [1, 1, 2, 1], 'NUM_HEADS': [1, 2, 4, 8],
+            'WINDOW_SIZE': 4, 'PATCH_SIZE': 4, 'DROP_PATH_RATE': 0.1,
+            'RETURN_PYRAMID': True, 'OUT_INDICES': [1, 2, 3]},
+        'NECK': {'IN_CHANNELS': [16, 32, 64], 'OUT_CHANNELS': 16,
+                 'NUM_OUTS': 2, 'START_LEVEL': 0, 'END_LEVEL': -1},
+        'VTRANSFORM': {
+            'IN_CHANNEL': 16, 'OUT_CHANNEL': 8,
+            'IMAGE_SIZE': [64, 96], 'FEATURE_SIZE': [8, 12],
+            'XBOUND': [0.0, 32.0, 1.0], 'YBOUND': [-16.0, 16.0, 1.0],
+            'ZBOUND': [-4.0, 4.0, 8.0], 'DBOUND': [1.0, 17.0, 2.0],
+            'DOWNSAMPLE': 1},
+        'VFE': {'NAME': 'PillarVFE', 'WITH_DISTANCE': False,
+                'USE_ABSLOTE_XYZ': True, 'USE_NORM': True,
+                'NUM_FILTERS': [16]},
+        'MAP_TO_BEV': {'NAME': 'PointPillarScatter', 'NUM_BEV_FEATURES': 16},
+        'FUSER': {'OUT_CHANNEL': 24},
+        'BACKBONE_2D': {'NAME': 'BaseBEVBackbone', 'LAYER_NUMS': [1],
+                        'LAYER_STRIDES': [1], 'NUM_FILTERS': [16],
+                        'UPSAMPLE_STRIDES': [1], 'NUM_UPSAMPLE_FILTERS': [16]},
+        'DENSE_HEAD': head,
+        'POST_PROCESSING': {
+            'SCORE_THRESH': 0.05,
+            'NMS_CONFIG': {'NMS_TYPE': 'circle_nms', 'NMS_RADIUS': 0.8,
+                           'NMS_PRE_MAXSIZE': 32, 'NMS_POST_MAXSIZE': 16}},
+    })
+    rng = np.random.RandomState(13)
+    model = build_network(cfg, num_class=3, dataset_cfg=ds_cfg_voxel(),
+                          class_names=['Car', 'Pedestrian', 'Cyclist'])
+    batch = make_batch(rng)
+    B, N = 2, 2
+    intr = np.tile(np.array([[50., 0, 48], [0, 50., 32], [0, 0, 1]],
+                            np.float32), (B, N, 1, 1))
+    c2l = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    batch.update({
+        'camera_imgs': jnp.asarray(rng.rand(B, N, 64, 96, 3), jnp.float32),
+        'camera_depth': jnp.asarray(rng.rand(B, N, 64, 96, 1), jnp.float32),
+        'camera2lidar': jnp.asarray(c2l),
+        'camera_intrinsics': jnp.asarray(intr),
+    })
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch,
+                           training=False)
+    (loss, _), _ = model.apply(variables, batch, training=True,
+                               mutable=['batch_stats'],
+                               rngs={'dropout': jax.random.PRNGKey(3)},
+                               method=model.forward_with_loss)
+    assert np.isfinite(float(loss))
+    dets = model.apply(variables, batch, method=model.predict)
+    assert dets['pred_boxes'].shape[-1] == 7
