@@ -111,7 +111,9 @@ class SwinBlock(nn.Module):
 
         h = nn.LayerNorm(name='ln2')(x)
         h = nn.Dense(4 * self.dim, name='mlp1')(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU — torch's default, and what reference checkpoints
+        # were trained with; flax defaults to the tanh approximation
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name='mlp2')(h)
         return x + self._drop_path(h, training)
 
@@ -178,11 +180,18 @@ class SwinTransformer(nn.Module):
                     name=f'merge_ln{si}')(x))
 
         if cfg.get('RETURN_PYRAMID', False):
-            # multi-scale stage outputs for a standalone neck
+            # multi-scale stage outputs for a standalone neck; OUT_NORM adds
+            # the reference's per-output LayerNorms (swin.py `norm{i}`
+            # add_module at :608-613) for checkpoint compatibility
             out_idx = [int(i) for i in
                        cfg.get('OUT_INDICES', range(len(depths)))]
-            return [feats[i].reshape(B, N, *feats[i].shape[1:])
-                    for i in out_idx]
+            outs = []
+            for i in out_idx:
+                f = feats[i]
+                if cfg.get('OUT_NORM', False):
+                    f = nn.LayerNorm(name=f'out_norm{i}')(f)
+                outs.append(f.reshape(B, N, *f.shape[1:]))
+            return outs
 
         # FPN fusion, output at the deepest (1/8) level: the finer stage's
         # lateral is pooled down and added (patch 2 * 2 merges -> /8)

@@ -210,7 +210,103 @@ def _rules(imp: _Importer):
         else:
             raise KeyError(name)
 
+    swin = imp.slot('patch_embed')
+    neck = imp.slot('lateral_0')
+
+    def _ln(base, field, v):
+        imp.put('params',
+                base + ('scale' if field == 'weight' else 'bias',), v)
+
+    def swin_patch(m, name, v):
+        leaf, field = m.group(1), m.group(2)
+        if leaf == 'projection':
+            path = swin + ('patch_embed',
+                           'kernel' if field == 'weight' else 'bias')
+            imp.put('params', path, conv2d_w(v) if field == 'weight' else v)
+        else:
+            _ln(swin + ('patch_ln',), field, v)
+
+    def _merge_perm(c):
+        """reference PatchMerging unfolds channel-major (c*4 + ih*2 + iw);
+        our 2x2 concat is spatial-major (ih*2C + iw*C + c)."""
+        idx = np.empty(4 * c, np.int64)
+        for ih in range(2):
+            for iw in range(2):
+                for cc in range(c):
+                    idx[ih * 2 * c + iw * c + cc] = cc * 4 + ih * 2 + iw
+        return idx
+
+    def swin_block(m, name, v):
+        si, bi, rest, field = (m.group(1), m.group(2), m.group(3),
+                               m.group(4))
+        base = swin + (f's{si}_b{bi}',)
+        if rest == 'norm1':
+            _ln(base + ('ln1',), field, v)
+        elif rest == 'norm2':
+            _ln(base + ('ln2',), field, v)
+        elif rest == 'attn.w_msa.qkv':
+            imp.put('params', base + ('attn', 'qkv',
+                                      'kernel' if field == 'weight'
+                                      else 'bias'),
+                    linear_w(v) if field == 'weight' else v)
+        elif rest == 'attn.w_msa.proj':
+            imp.put('params', base + ('attn', 'proj',
+                                      'kernel' if field == 'weight'
+                                      else 'bias'),
+                    linear_w(v) if field == 'weight' else v)
+        elif rest == 'attn.w_msa' and field == \
+                'relative_position_bias_table':
+            imp.put('params', base + ('attn', 'rel_bias'), v)
+        elif rest == 'attn.w_msa' and field == 'relative_position_index':
+            pass    # buffer; our index is rebuilt from the window size
+        elif rest == 'ffn.layers.0.0':
+            imp.put('params', base + ('mlp1', 'kernel' if field == 'weight'
+                                      else 'bias'),
+                    linear_w(v) if field == 'weight' else v)
+        elif rest == 'ffn.layers.1':
+            imp.put('params', base + ('mlp2', 'kernel' if field == 'weight'
+                                      else 'bias'),
+                    linear_w(v) if field == 'weight' else v)
+        else:
+            raise KeyError(name)
+
+    def swin_downsample(m, name, v):
+        si, leaf, field = m.group(1), m.group(2), m.group(3)
+        if leaf == 'reduction':
+            # Linear(4C -> 2C), no bias; permute the 4C input axis
+            w = linear_w(v)                       # (4C, 2C)
+            idx = _merge_perm(w.shape[0] // 4)
+            imp.put('params', swin + (f'merge{si}', 'kernel'), w[idx])
+        else:
+            vv = np.asarray(v)[_merge_perm(len(np.asarray(v)) // 4)]
+            _ln(swin + (f'merge_ln{si}',), field, vv)
+
+    def swin_outnorm(m, name, v):
+        i, field = m.group(1), m.group(2)
+        _ln(swin + (f'out_norm{i}',), field, v)
+
+    def neck_conv(m, name, v):
+        kind, i, leaf, field = (m.group(1), m.group(2), m.group(3),
+                                m.group(4))
+        ours = 'lateral' if kind == 'lateral_convs' else 'fpn'
+        base = neck + (f'{ours}_{i}',)
+        if leaf == 'conv' and field == 'weight':
+            imp.put('params', base + ('conv', 'kernel'), conv2d_w(v))
+        elif leaf == 'bn':
+            imp.bn(base + ('bn',), field, v)
+        else:
+            raise KeyError(name)
+
     return [
+        (re.compile(r'image_backbone\.patch_embed\.(projection|norm)\.'
+                    r'(\w+)$'), swin_patch),
+        (re.compile(r'image_backbone\.stages\.(\d+)\.blocks\.(\d+)\.'
+                    r'([\w.]+?)\.(\w+)$'), swin_block),
+        (re.compile(r'image_backbone\.stages\.(\d+)\.downsample\.'
+                    r'(reduction|norm)\.(\w+)$'), swin_downsample),
+        (re.compile(r'image_backbone\.norm(\d+)\.(\w+)$'), swin_outnorm),
+        (re.compile(r'neck\.(lateral_convs|fpn_convs)\.(\d+)\.(conv|bn)\.'
+                    r'(\w+)$'), neck_conv),
         (re.compile(r'vfe\.pfn_layers\.(\d+)\.(linear|norm)\.(\w+)$'), pfn),
         (re.compile(r'backbone_2d\.blocks\.(\d+)\.(\d+)\.(\w+)$'), bev_block),
         (re.compile(r'backbone_2d\.deblocks\.(\d+)\.(\d+)\.(\w+)$'),

@@ -192,3 +192,51 @@ def test_imported_ckpt_saves_and_overlays(rng, tmp_path):
     want = np.asarray(jax.tree_util.tree_leaves(variables['params'])[0])
     got = np.asarray(jax.tree_util.tree_leaves(loaded.params)[0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_swin_state_dict_roundtrip(rng):
+    """Reference SwinTransformer (4-stage-capable mmdet port in
+    `backbones_image/swin.py`) -> state_dict -> importer -> pyramid parity,
+    covering qkv/proj/rel-bias/FFN/LayerNorm transposition, the PatchMerging
+    unfold-vs-spatial channel-order permutation, and the per-output norms."""
+    import ref_oracle
+    mod = ref_oracle.load('pcdet.models.backbones_image.swin')
+    ED = ref_oracle._EasyDict
+    depths, heads = [1, 1, 2], [1, 2, 4]
+    tcfg = ED({'EMBED_DIMS': 8, 'DEPTHS': depths, 'NUM_HEADS': heads,
+               'WINDOW_SIZE': 4, 'PATCH_SIZE': 4, 'MLP_RATIO': 4,
+               'DROP_RATE': 0.0, 'ATTN_DROP_RATE': 0.0,
+               'DROP_PATH_RATE': 0.0, 'OUT_INDICES': [1, 2]})
+    tnet = mod.SwinTransformer(model_cfg=tcfg)
+    with torch.no_grad():
+        for nm, p in tnet.named_parameters():
+            if 'relative_position_bias_table' in nm:
+                p.copy_(torch.randn_like(p) * 0.2)
+            elif nm.endswith('.bias'):
+                p.add_(torch.randn_like(p) * 0.02)
+    tnet.eval()
+
+    imgs = rng.rand(1, 2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet({'camera_imgs': torch.from_numpy(
+            imgs.transpose(0, 1, 4, 2, 3))})['image_features']
+    t_out = [o.numpy() for o in t_out]                  # (BN, C, h, w)
+
+    from pdm_ssd_tpu.models.backbones_image import SwinTransformer
+    from pdm_ssd_tpu.utils.config import CfgNode
+    jnet = SwinTransformer(model_cfg=CfgNode({
+        'EMBED_DIM': 8, 'DEPTHS': depths, 'NUM_HEADS': heads,
+        'WINDOW_SIZE': 4, 'PATCH_SIZE': 4, 'RETURN_PYRAMID': True,
+        'OUT_INDICES': [1, 2], 'OUT_NORM': True}))
+    jimgs = jnp.asarray(imgs)
+    variables = jnet.init(jax.random.PRNGKey(0), jimgs)
+    sd = _sd_of(tnet, 'image_backbone')
+    variables, report = import_state_dict(sd, variables)
+    leftovers = [n for n, _ in report['unmatched']
+                 if 'relative_position_index' not in n]
+    assert not leftovers, leftovers
+
+    j_out = jnet.apply(variables, jimgs)
+    for jo, to in zip(j_out, t_out):
+        jo = np.moveaxis(np.asarray(jo).reshape(-1, *jo.shape[2:]), -1, 1)
+        np.testing.assert_allclose(jo, to, rtol=2e-4, atol=2e-4)
