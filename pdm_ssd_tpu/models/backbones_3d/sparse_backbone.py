@@ -381,9 +381,28 @@ class SparseConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, feats, nbr, out_mask, training: bool = False,
                  corr=None, bwd_nbr=None):
-        if self.table_dtype is not None:
+        qscale = None
+        if str(self.table_dtype) == 'int8':
+            # dynamic per-channel symmetric int8 slot tables: the ladder is
+            # gather-bandwidth bound, so int8 rows halve the bf16 gather
+            # bytes; the dequant scales fold into the matmul kernel (one
+            # int8->bf16 cast after the gather, no extra multiply). Only the
+            # pure-gather (eval / xwin) branch quantizes — the
+            # gather-transpose training backward and qwin correction paths
+            # fall back to bf16.
+            qscale = jnp.max(jnp.abs(feats), axis=(0, 1)) / 127.0 + 1e-8
+            if bwd_nbr is None and corr is None:
+                feats = jnp.clip(jnp.round(feats / qscale),
+                                 -127, 127).astype(jnp.int8)
+            else:
+                qscale = None
+                feats = feats.astype(jnp.bfloat16)
+            dt = jnp.bfloat16
+        elif self.table_dtype is not None:
             feats = feats.astype(self.table_dtype)
-        dt = self.table_dtype or jnp.float32
+            dt = self.table_dtype
+        else:
+            dt = jnp.float32
         if bwd_nbr is not None and corr is None \
                 and not (isinstance(nbr, tuple) and nbr[1].ndim == 5):
             C = feats.shape[-1]
@@ -404,7 +423,14 @@ class SparseConvBNReLU(nn.Module):
                 x = gather_taps(feats, nbr)
             kernel = self.param('kernel', nn.initializers.lecun_normal(),
                                 (x.shape[-1], self.features))
-            x = jax.lax.dot_general(x, kernel.astype(dt),
+            k = kernel.astype(dt)
+            if qscale is not None:
+                # int8 rows -> bf16 once, with the per-channel dequant scale
+                # folded into the kernel (taps are the outer axis of K*C)
+                x = x.astype(dt)
+                K_taps = x.shape[-1] // qscale.shape[0]
+                k = k * jnp.tile(qscale, K_taps)[:, None].astype(dt)
+            x = jax.lax.dot_general(x, k,
                                     (((2,), (0,)), ((), ())))
         if corr is not None:
             x = qwin_corrections(x, feats, kernel, corr, dt)
@@ -485,8 +511,8 @@ class SparseVoxelBackBone8x(nn.Module):
         pwin = (not qwin and cfg.get('PWIN', False)
                 and 'sp_submap1_qcin' in batch)
         barrier = cfg.get('LAYER_BARRIER', xwin or qwin or pwin)
-        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
-            str(cfg.get('TABLE_DTYPE', '')).lower())
+        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16,
+               'int8': 'int8'}.get(str(cfg.get('TABLE_DTYPE', '')).lower())
         # gather-transpose backward (`sparse_conv_mm`): on whenever training
         # and the host shipped the inverse down maps (sp_upmap*); submanifold
         # maps are their own transpose so they need no extra tables.
@@ -641,8 +667,8 @@ class SparseUNetV2(nn.Module):
         out_ch = cfg.get('OUT_FEATURES', 128)
         xwin = cfg.get('XWIN', False)
         barrier = cfg.get('LAYER_BARRIER', xwin)
-        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
-            str(cfg.get('TABLE_DTYPE', '')).lower())
+        tdt = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16,
+               'int8': 'int8'}.get(str(cfg.get('TABLE_DTYPE', '')).lower())
         # gather-transpose backward (see SparseVoxelBackBone8x): subm maps
         # are self-transpose; down<->up maps are each other's transpose, and
         # both directions are already in the batch for the UNet. conv_out

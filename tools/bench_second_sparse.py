@@ -50,6 +50,9 @@ def main():
     ap.add_argument('--no_bwd', action='store_true')
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 feature slot tables (TABLE_DTYPE)')
+    ap.add_argument('--int8', action='store_true',
+                    help='int8 feature slot tables (dynamic per-channel '
+                         'quant, dequant folded into the matmul kernel)')
     ap.add_argument('--batch', type=int, default=2)
     ap.add_argument('--gbwd', type=int, default=1,
                     help='gather-transpose backward (sparse_conv_mm): '
@@ -81,9 +84,11 @@ def main():
         cfg.MODEL.BACKBONE_3D.LAYER_BARRIER = bool(args.barrier)
     if args.bf16:
         cfg.MODEL.BACKBONE_3D.TABLE_DTYPE = 'bf16'
+    if args.int8:
+        cfg.MODEL.BACKBONE_3D.TABLE_DTYPE = 'int8'
     print(f'xwin={cfg.MODEL.BACKBONE_3D.get("XWIN", False)} '
           f'qwin={args.qwin} pwin={args.pwin} barrier={args.barrier} '
-          f'bf16={args.bf16}', flush=True)
+          f'bf16={args.bf16} int8={args.int8}', flush=True)
     model = build_network(cfg.MODEL, num_class=3, dataset_cfg=cfg.DATA_CONFIG,
                          class_names=cfg.CLASS_NAMES)
     proc = DataProcessor(cfg.DATA_CONFIG.DATA_PROCESSOR,
