@@ -50,6 +50,12 @@ def parse_config():
 def main():
     args, cfg = parse_config()
     import jax
+    # persistent XLA compile cache: CLI restarts skip the 8-17 min
+    # sparse-graph compiles (same config the benches already use)
+    jax.config.update('jax_compilation_cache_dir',
+                      str(REPO / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      2.0)
     from pdm_ssd_tpu.datasets import build_dataloader
     from pdm_ssd_tpu.models import build_network, get_host_prepare
     from pdm_ssd_tpu.runtime import trainer
