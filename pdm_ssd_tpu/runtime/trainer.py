@@ -59,8 +59,12 @@ def _filter_device_batch(batch: dict) -> dict:
 
 def create_train_state(model, batch, opt_cfg, total_iters_each_epoch, total_epochs,
                        seed=0):
-    variables = model.init({'params': jax.random.PRNGKey(seed)},
-                           _filter_device_batch(batch), training=False)
+    # jit the init: un-jitted tracing dispatches thousands of individual ops
+    # (over the tunnel that is ~30 ms EACH — ~20 min of startup for the
+    # sparse ladder); one compiled call also lands in the persistent cache
+    init_fn = jax.jit(lambda key, b: model.init({'params': key}, b,
+                                                training=False))
+    variables = init_fn(jax.random.PRNGKey(seed), _filter_device_batch(batch))
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     tx, lr_sched = build_optimizer_and_schedule(
