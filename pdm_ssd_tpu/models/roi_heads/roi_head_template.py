@@ -42,8 +42,15 @@ class RoIHeadTemplate(nn.Module):
         post = cfg[mode].NMS_POST_MAXSIZE
         thresh = cfg[mode].NMS_THRESH
 
-        boxes = batch['batch_box_preds']       # (B, N, 7+)
-        cls_preds = batch['batch_cls_preds']   # (B, N, nc)
+        # The reference runs proposal generation under `@torch.no_grad()`
+        # (`roi_head_template.py:45`): stage-1 learns only from its own
+        # anchor/point losses, never from refinement gradients flowing back
+        # through ROI geometry (rotated-IoU target matching, canonical
+        # encode divisions, grid-point lattices — all ill-conditioned).
+        # Without this barrier the joint sparse PV-RCNN schedule diverges
+        # (loss climbs then NaNs by ~epoch 18; BENCH_NOTES round 5).
+        boxes = jax.lax.stop_gradient(batch['batch_box_preds'])     # (B, N, 7+)
+        cls_preds = jax.lax.stop_gradient(batch['batch_cls_preds'])  # (B, N, nc)
         scores = jnp.max(jax.nn.sigmoid(cls_preds), axis=-1)
         labels = jnp.argmax(cls_preds, axis=-1) + 1
 
@@ -207,7 +214,26 @@ class RoIHeadTemplate(nn.Module):
         reg_loss = jnp.sum(reg_loss) / jnp.clip(jnp.sum(reg_mask), min=1.0)
         reg_loss = reg_loss * lw['rcnn_reg_weight']
         total = cls_loss + reg_loss
-        return total, {'rcnn_cls_loss': cls_loss, 'rcnn_reg_loss': reg_loss}
+        tb = {'rcnn_cls_loss': cls_loss, 'rcnn_reg_loss': reg_loss}
+
+        if cfg.get('CORNER_LOSS_REGULARIZATION', False):
+            # reference `get_box_reg_layer_loss` corner branch: decode the
+            # fg refinements back to the global frame and pull their 3D
+            # corners toward the matched gt's (min over flipped heading)
+            rois = targets['rois']
+            boxes, _ = self.generate_predicted_boxes(
+                rois, batch['rcnn_cls_preds'], reg_preds)
+            B, R = rois.shape[:2]
+            per_roi = losses.corner_loss_lidar(
+                boxes.reshape(B * R, 7),
+                targets['gt_of_roi'][..., :7].reshape(B * R, 7)
+            ).reshape(B, R)
+            m = reg_mask.astype(per_roi.dtype)
+            corner = jnp.sum(per_roi * m) / jnp.clip(jnp.sum(m), min=1.0)
+            corner = corner * lw.get('rcnn_corner_weight', 1.0)
+            total = total + corner
+            tb['rcnn_corner_loss'] = corner
+        return total, tb
 
     # ---------- decode ----------
 

@@ -120,9 +120,15 @@ def corner_loss_lidar(pred_boxes: jax.Array, gt_boxes: jax.Array) -> jax.Array:
     gt_corners = box_ops.boxes_to_corners_3d(gt_boxes)
     gt_flip = gt_boxes.at[:, 6].add(jnp.pi)
     gt_corners_flip = box_ops.boxes_to_corners_3d(gt_flip)
+
+    def safe_norm(d):
+        # d/||d|| is NaN at exactly-coincident corners; keep the gradient
+        # bounded there (norm(0) ~ 0 with zero grad instead of NaN)
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
     dist = jnp.minimum(
-        jnp.linalg.norm(pred_corners - gt_corners, axis=-1),
-        jnp.linalg.norm(pred_corners - gt_corners_flip, axis=-1),
+        safe_norm(pred_corners - gt_corners),
+        safe_norm(pred_corners - gt_corners_flip),
     )  # (N, 8)
     return jnp.mean(smooth_l1(dist, beta=1.0), axis=1)
 
