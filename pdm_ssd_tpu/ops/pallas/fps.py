@@ -60,6 +60,12 @@ def _fps_kernel(xyz_ref, out_ref, dist_ref, *, npoint: int, n: int, b: int):
 def farthest_point_sample_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     """xyz: (B, N, 3) -> (B, npoint) int32. Semantics identical to the pure-JAX
     reference (seed index 0, first-argmax tie break)."""
+    # index output, no gradient — like the reference's autograd.Function with
+    # no backward (`sampling_gpu.cu` wrapper). Without this, any symbolic
+    # tangent on xyz (e.g. the PointRCNN ROI head's canonical cloud, sliced
+    # from a concat that includes learned point scores) hits pallas_call's
+    # missing JVP rule and crashes the train step.
+    xyz = jax.lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
     x = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1)).reshape(B * 3, N)
     # rows grouped coordinate-major: [x0..xB, y0..yB, z0..zB]

@@ -40,8 +40,15 @@ def parse_config():
                         help='jax_default_matmul_precision for the eval '
                              '(bench.py uses bfloat16; default: f32). '
                              'Used for the bf16 AP-budget measurement.')
+    parser.add_argument('--cpu', action='store_true', default=False,
+                        help='run on host CPU devices (the env sitecustomize '
+                             'force-registers the TPU backend, so the '
+                             'JAX_PLATFORMS env var alone does not stick)')
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     if args.matmul_precision:
         import jax
         jax.config.update('jax_default_matmul_precision',

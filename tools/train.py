@@ -38,8 +38,15 @@ def parse_config():
     parser.add_argument('--merge_all_iters_to_one_epoch', action='store_true', default=False)
     parser.add_argument('--profile', action='store_true', default=False,
                         help='capture a jax.profiler trace of the first training steps')
+    parser.add_argument('--cpu', action='store_true', default=False,
+                        help='run on host CPU devices (the env sitecustomize '
+                             'force-registers the TPU backend, so the '
+                             'JAX_PLATFORMS env var alone does not stick)')
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     cfg = cfg_from_yaml_file(args.cfg_file, CfgNode())
     if args.set_cfgs is not None:
