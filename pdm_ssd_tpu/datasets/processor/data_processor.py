@@ -80,6 +80,13 @@ class DataProcessor:
                 return dd
             points = dd['points']
             n_have = len(points)
+            if n_have == 0:
+                # an aggressive aug (e.g. a flip on a forward-only range)
+                # can empty the cloud; emit all-zero padding rather than
+                # crash — downstream masks treat zero rows as padding
+                dd['points'] = np.zeros((n_want, points.shape[1]),
+                                        points.dtype)
+                return dd
             if n_want >= n_have:
                 n_pad = n_want - n_have
                 pad = np.random.choice(n_have, n_pad, replace=n_pad > n_have)
