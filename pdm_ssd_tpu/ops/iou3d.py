@@ -264,6 +264,26 @@ def _greedy_suppress(overlap: jax.Array, cand_valid: jax.Array) -> jax.Array:
     return keep
 
 
+def _suppression_matrix(cand_boxes: jax.Array, thresh: float,
+                        blk: int = 512) -> jax.Array:
+    """(K, 7) -> (K, K) bool: rotated-BEV IoU > thresh, row-blocked.
+
+    The polygon-clipping overlap keeps ~450 B of temps per box pair; the
+    full KxK matrix at the reference's TRAIN NMS_PRE 4096 needs ~7 GB of
+    HBM and OOMs a 16 GB chip. `lax.map` over row tiles serializes the
+    temp to one (blk, K) tile (~0.9 GB at 4096) while the bool output
+    stays tiny. Values are identical to the unblocked computation."""
+    K = cand_boxes.shape[0]
+    if K <= blk:
+        return boxes_iou_bev(cand_boxes, cand_boxes) > thresh
+    nb = -(-K // blk)
+    padded = jnp.pad(cand_boxes, ((0, nb * blk - K), (0, 0)))
+    rows = jax.lax.map(
+        lambda b: boxes_iou_bev(b, cand_boxes) > thresh,
+        padded.reshape(nb, blk, padded.shape[-1]))
+    return rows.reshape(nb * blk, K)[:K]
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def nms_bev(boxes: jax.Array, scores: jax.Array, thresh: float,
             pre_maxsize: int, post_maxsize: int,
@@ -285,9 +305,9 @@ def nms_bev(boxes: jax.Array, scores: jax.Array, thresh: float,
     K = min(pre_maxsize, N)
     top_scores, order = jax.lax.top_k(s, K)
     cand_boxes = boxes[order]
-    iou = boxes_iou_bev(cand_boxes, cand_boxes)  # (K, K)
+    suppress = _suppression_matrix(cand_boxes, thresh)  # (K, K) bool
     cand_valid = jnp.isfinite(top_scores)
-    kept = _greedy_suppress((iou > thresh), cand_valid)
+    kept = _greedy_suppress(suppress, cand_valid)
     # stable-compact kept candidates (already score-ordered) into post_maxsize slots
     rank = jnp.argsort(jnp.where(kept, 0, 1), stable=True)
     P = min(post_maxsize, K)

@@ -98,3 +98,22 @@ def test_nms_respects_valid_mask():
     idx, mask = iou3d.nms_bev(boxes, scores, 0.5, 4, 4, valid=valid)
     assert np.asarray(mask).sum() == 1
     assert np.asarray(idx)[0] == 0
+
+
+def test_suppression_matrix_blocked_matches_full():
+    """Row-blocked suppression (bounded-HBM path for big NMS_PRE) is
+    bit-identical to the full KxK computation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pdm_ssd_tpu.ops.iou3d import _suppression_matrix, boxes_iou_bev
+    rng = np.random.RandomState(3)
+    K = 37  # not a multiple of the block to exercise the pad/trim
+    boxes = np.zeros((K, 7), np.float32)
+    boxes[:, :2] = rng.uniform(-10, 10, (K, 2))
+    boxes[:, 2] = rng.uniform(-1, 1, K)
+    boxes[:, 3:6] = rng.uniform(0.5, 4.0, (K, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, K)
+    b = jnp.asarray(boxes)
+    full = np.asarray(boxes_iou_bev(b, b) > 0.1)
+    blocked = np.asarray(_suppression_matrix(b, 0.1, blk=8))
+    np.testing.assert_array_equal(blocked, full)
